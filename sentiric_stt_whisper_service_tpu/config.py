@@ -1,0 +1,169 @@
+"""Typed runtime configuration with the reference's env-var surface.
+
+Mirrors the ``Settings`` struct and ``load_settings()`` of the reference
+(``/root/reference/src/config.h:10-172``): same ``STT_WHISPER_SERVICE_*``
+variable names, same defaults, same derived-config rules (``MODEL_SIZE`` →
+``ggml-{size}.bin`` filename, logprob sign normalization) so the TPU build is
+a drop-in replacement at the deployment surface.
+
+TPU-specific additions live at the bottom of :class:`Settings` and use the
+same prefix; they default to single-chip operation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+_PREFIX = "STT_WHISPER_SERVICE_"
+
+
+def _env(name: str, default: str) -> str:
+    return os.environ.get(_PREFIX + name, default)
+
+
+def _env_int(name: str, default: int) -> int:
+    val = os.environ.get(_PREFIX + name)
+    return int(val) if val is not None else default
+
+
+def _env_float(name: str, default: float) -> float:
+    val = os.environ.get(_PREFIX + name)
+    return float(val) if val is not None else default
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    val = os.environ.get(_PREFIX + name)
+    if val is None:
+        return default
+    return val.strip().lower() in ("true", "1")
+
+
+@dataclasses.dataclass
+class Settings:
+    """All service settings. Defaults match /root/reference/src/config.h:10-82."""
+
+    host: str = "0.0.0.0"
+    http_port: int = 15030
+    grpc_port: int = 15031
+    metrics_port: int = 15032
+
+    # --- Main model ---
+    model_dir: str = "/models"
+    model_size: str = "medium"
+    model_filename: str = "ggml-medium.bin"
+    model_url_template: str = (
+        "https://huggingface.co/ggerganov/whisper.cpp/resolve/main/"
+        "ggml-{model_name}.bin"
+    )
+    model_load_timeout: int = 600
+
+    # --- VAD (reference config.h:24-37) ---
+    vad_model_filename: str = "ggml-silero-vad.bin"
+    vad_model_url: str = (
+        "https://huggingface.co/ggml-org/whisper-vad/resolve/main/"
+        "ggml-silero-v6.2.0.bin"
+    )
+    enable_vad: bool = True
+    vad_threshold: float = 0.75
+    vad_ms_min_duration: int = 500
+
+    # --- Performance & batching (config.h:39-45) ---
+    n_threads: int = 4
+    parallel_requests: int = 2
+    request_queue_timeout_ms: int = 5000
+    device: str = "auto"
+    compute_type: str = "int8"
+
+    # --- Generation (config.h:47-66) ---
+    language: str = "auto"
+    translate: bool = False
+    no_timestamps: bool = False
+    beam_size: int = 5
+    temperature: float = 0.0
+    best_of: int = 5
+    logprob_threshold: float = -0.7
+    no_speech_threshold: float = 0.85
+    flash_attn: bool = True
+    suppress_nst: bool = True
+
+    # --- Diarization (config.h:67-71) ---
+    enable_diarization: bool = False
+    cluster_threshold: float = 0.88
+
+    sample_rate: int = 16000
+    stream_buffer_samples: int = 8000  # 500 ms @ 16 kHz
+
+    log_level: str = "info"
+    grpc_ca_path: str = ""
+    grpc_cert_path: str = ""
+    grpc_key_path: str = ""
+
+    # --- TPU-native additions (no reference counterpart) ---
+    # Decode micro-batch size for the continuous batcher (per chip).
+    max_batch_size: int = 8
+    # Mesh axes for weight sharding: "1" = single chip. e.g. "2x4" = dp=2, tp=4.
+    mesh_shape: str = "1"
+    # Weight/activation dtype on device.
+    dtype: str = "bfloat16"
+
+
+def load_settings() -> Settings:
+    """Read settings from the environment (reference config.h:84-172)."""
+    s = Settings()
+    s.host = _env("LISTEN_ADDRESS", s.host)
+    s.http_port = _env_int("HTTP_PORT", s.http_port)
+    s.grpc_port = _env_int("GRPC_PORT", s.grpc_port)
+    s.metrics_port = _env_int("METRICS_PORT", s.metrics_port)
+
+    s.model_dir = _env("MODEL_DIR", s.model_dir)
+    s.model_size = _env("MODEL_SIZE", "medium")
+    # Derived config: MODEL_SIZE → ggml-{size}.bin (config.h:112-114).
+    s.model_filename = _env("MODEL_FILENAME", f"ggml-{s.model_size}.bin")
+
+    s.vad_model_filename = _env("VAD_MODEL", s.vad_model_filename)
+    s.vad_model_url = _env("VAD_URL", s.vad_model_url)
+    s.enable_vad = _env_bool("ENABLE_VAD", s.enable_vad)
+    s.vad_threshold = _env_float("VAD_THRESHOLD", s.vad_threshold)
+    s.vad_ms_min_duration = _env_int("VAD_MS_MIN_DURATION", s.vad_ms_min_duration)
+
+    s.flash_attn = _env_bool("FLASH_ATTN", s.flash_attn)
+    s.suppress_nst = _env_bool("SUPPRESS_NST", s.suppress_nst)
+
+    s.enable_diarization = _env_bool("ENABLE_DIARIZATION", s.enable_diarization)
+    s.cluster_threshold = _env_float("CLUSTER_THRESHOLD", s.cluster_threshold)
+
+    s.n_threads = _env_int("THREADS", s.n_threads)
+    s.parallel_requests = _env_int("PARALLEL_REQUESTS", s.parallel_requests)
+    s.request_queue_timeout_ms = _env_int(
+        "QUEUE_TIMEOUT_MS", s.request_queue_timeout_ms
+    )
+
+    s.language = _env("LANGUAGE", s.language)
+    s.translate = _env_bool("TRANSLATE", s.translate)
+
+    s.beam_size = _env_int("BEAM_SIZE", s.beam_size)
+    s.temperature = _env_float("TEMPERATURE", s.temperature)
+    s.best_of = _env_int("BEST_OF", s.best_of)
+
+    s.logprob_threshold = _env_float("LOGPROB_THRESHOLD", s.logprob_threshold)
+    # Sign normalization: logprob threshold must be negative (config.h:149-155).
+    if s.logprob_threshold > 0.0:
+        s.logprob_threshold = -s.logprob_threshold
+
+    s.no_speech_threshold = _env_float("NO_SPEECH_THRESHOLD", s.no_speech_threshold)
+    s.sample_rate = _env_int("SAMPLE_RATE", s.sample_rate)
+    s.stream_buffer_samples = _env_int(
+        "STREAM_BUFFER_SAMPLES", s.stream_buffer_samples
+    )
+
+    s.log_level = _env("LOG_LEVEL", s.log_level)
+    s.grpc_ca_path = os.environ.get("GRPC_TLS_CA_PATH", s.grpc_ca_path)
+    s.grpc_cert_path = _env("CERT_PATH", s.grpc_cert_path)
+    s.grpc_key_path = _env("KEY_PATH", s.grpc_key_path)
+
+    s.max_batch_size = _env_int("MAX_BATCH_SIZE", s.max_batch_size)
+    s.mesh_shape = _env("MESH_SHAPE", s.mesh_shape)
+    s.dtype = _env("DTYPE", s.dtype)
+    return s

@@ -1,0 +1,38 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+All tests run on CPU so they are hermetic and can exercise multi-chip
+sharding (SURVEY.md §4: multi-chip tests via
+``--xla_force_host_platform_device_count`` mesh simulation).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
+# is honored and must happen before any backend initialization.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_tone(freq_hz, duration_s=1.0, sr=16000, amp=0.1):
+    t = np.arange(int(duration_s * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq_hz * t)).astype(np.float32)
+
+
+@pytest.fixture
+def tone_220():
+    return make_tone(220.0)
