@@ -1,0 +1,429 @@
+"""From-scratch Whisper encoder–decoder in pure-functional JAX.
+
+Replaces the whisper.cpp model stack the reference links against
+(SURVEY.md §2.3; usage at /root/reference/src/stt_engine.cpp:245). The
+design is TPU-first, not a port:
+
+  * Parameters are a plain pytree of stacked per-layer arrays
+    (``[n_layers, ...]``) so the transformer body is a single
+    ``jax.lax.scan`` — O(1) HLO size in depth, fast compiles, and sharding
+    is one ``NamedSharding`` per stacked leaf (tensor parallelism shards the
+    head/ffn axes; see ``parallel/``).
+  * All attention runs in bf16 with fp32 softmax; matmuls are shaped
+    [B*T, d] x [d, d] so XLA tiles them onto the MXU.
+  * Decode is incremental with a static-shape KV cache slab
+    ``[n_layers, batch, n_text_ctx, heads, head_dim]`` — slots are written
+    with ``dynamic_update_slice`` at the current position, enabling the
+    continuous batcher to recycle slots without recompilation.
+  * Cross-attention K/V are precomputed once per 30 s window and reused for
+    every decode step (the reference gets this for free inside whisper.cpp;
+    here it is explicit and batched).
+
+Architecture numerics follow openai-whisper: conv1(k3,s1)+GELU,
+conv2(k3,s2)+GELU, sinusoidal audio positions, pre-LN blocks with
+(d_head)^-0.25 scaling on both q and k, learned text positions, logits tied
+to the token embedding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Any  # nested dict pytree
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_vocab: int = 51865
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.n_vocab >= 51865
+
+    @property
+    def num_languages(self) -> int:
+        return 100 if self.n_vocab == 51866 else 99
+
+
+# Official whisper model family dims (whisper.cpp loads the same shapes).
+_PRESETS = {
+    "tiny": dict(n_audio_state=384, n_audio_head=6, n_audio_layer=4,
+                 n_text_state=384, n_text_head=6, n_text_layer=4),
+    "base": dict(n_audio_state=512, n_audio_head=8, n_audio_layer=6,
+                 n_text_state=512, n_text_head=8, n_text_layer=6),
+    "small": dict(n_audio_state=768, n_audio_head=12, n_audio_layer=12,
+                  n_text_state=768, n_text_head=12, n_text_layer=12),
+    "medium": dict(n_audio_state=1024, n_audio_head=16, n_audio_layer=24,
+                   n_text_state=1024, n_text_head=16, n_text_layer=24),
+    "large": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                  n_text_state=1280, n_text_head=20, n_text_layer=32),
+}
+
+
+def config_for(name: str, dtype=jnp.bfloat16) -> WhisperConfig:
+    """Config by model name: tiny(.en), base(.en), small(.en), medium(.en),
+    large-v1/v2/v3, large-v3-turbo, plus 'test' (a mini model for CI)."""
+    if name == "test":
+        return WhisperConfig(
+            n_mels=80, n_vocab=51865, n_audio_ctx=1500,
+            n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+            n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
+            dtype=dtype,
+        )
+    english = name.endswith(".en")
+    base_name = name[:-3] if english else name
+    if base_name.startswith("large"):
+        dims = dict(_PRESETS["large"])
+        if base_name in ("large-v3", "large-v3-turbo", "turbo"):
+            n_mels, n_vocab = 128, 51866
+        else:
+            n_mels, n_vocab = 80, 51865
+        if base_name in ("large-v3-turbo", "turbo"):
+            dims["n_text_layer"] = 4
+        return WhisperConfig(n_mels=n_mels, n_vocab=n_vocab, dtype=dtype, **dims)
+    dims = _PRESETS[base_name]
+    return WhisperConfig(
+        n_mels=80,
+        n_vocab=51864 if english else 51865,
+        dtype=dtype,
+        **dims,
+    )
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoidal position embedding for the encoder."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(10000) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+
+def _dense(key, d_in, d_out, dtype, bias=True):
+    scale = 1.0 / math.sqrt(d_in)
+    w = jax.random.normal(key, (d_in, d_out), jnp.float32) * scale
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+def _ln(d, dtype):
+    return {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+
+
+def _attn_block(key, d, dtype):
+    ks = jax.random.split(key, 4)
+    return {
+        "q": _dense(ks[0], d, d, dtype),
+        "k": _dense(ks[1], d, d, dtype, bias=False),
+        "v": _dense(ks[2], d, d, dtype),
+        "o": _dense(ks[3], d, d, dtype),
+    }
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def init_params(cfg: WhisperConfig, key: jax.Array) -> Params:
+    """Random-init parameters with the real Whisper shapes (for tests/bench
+    and as the target layout for checkpoint loaders)."""
+    dt = cfg.dtype
+    keys = jax.random.split(key, 16)
+    d_a, d_t = cfg.n_audio_state, cfg.n_text_state
+
+    def enc_block(k):
+        ks = jax.random.split(k, 4)
+        return {
+            "attn_ln": _ln(d_a, dt),
+            "attn": _attn_block(ks[0], d_a, dt),
+            "mlp_ln": _ln(d_a, dt),
+            "mlp_1": _dense(ks[1], d_a, 4 * d_a, dt),
+            "mlp_2": _dense(ks[2], 4 * d_a, d_a, dt),
+        }
+
+    def dec_block(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "attn_ln": _ln(d_t, dt),
+            "attn": _attn_block(ks[0], d_t, dt),
+            "cross_attn_ln": _ln(d_t, dt),
+            "cross_attn": _attn_block(ks[1], d_t, dt),
+            "mlp_ln": _ln(d_t, dt),
+            "mlp_1": _dense(ks[2], d_t, 4 * d_t, dt),
+            "mlp_2": _dense(ks[3], 4 * d_t, d_t, dt),
+        }
+
+    conv_scale1 = 1.0 / math.sqrt(3 * cfg.n_mels)
+    conv_scale2 = 1.0 / math.sqrt(3 * d_a)
+    return {
+        "encoder": {
+            "conv1": {
+                "w": (jax.random.normal(keys[0], (3, cfg.n_mels, d_a)) * conv_scale1).astype(dt),
+                "b": jnp.zeros((d_a,), dt),
+            },
+            "conv2": {
+                "w": (jax.random.normal(keys[1], (3, d_a, d_a)) * conv_scale2).astype(dt),
+                "b": jnp.zeros((d_a,), dt),
+            },
+            "pos": jnp.asarray(sinusoids(cfg.n_audio_ctx, d_a), dt),
+            "blocks": _stack(
+                [enc_block(k) for k in jax.random.split(keys[2], cfg.n_audio_layer)]
+            ),
+            "ln_post": _ln(d_a, dt),
+        },
+        "decoder": {
+            "tok_emb": (
+                jax.random.normal(keys[3], (cfg.n_vocab, d_t)) * 0.02
+            ).astype(dt),
+            "pos_emb": (
+                jax.random.normal(keys[4], (cfg.n_text_ctx, d_t)) * 0.01
+            ).astype(dt),
+            "blocks": _stack(
+                [dec_block(k) for k in jax.random.split(keys[5], cfg.n_text_layer)]
+            ),
+            "ln": _ln(d_t, dt),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x, p, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def dense(x, p):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _split_heads(x, n_head):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head)
+
+
+def mha(q, k, v, n_head: int, mask: Optional[jnp.ndarray] = None):
+    """Multi-head attention. q,k,v: [B, T, d]; mask broadcastable to
+    [B, H, Tq, Tk] (True = attend). fp32 softmax."""
+    d = q.shape[-1]
+    scale = (d // n_head) ** -0.25
+    qh = _split_heads(q, n_head) * scale
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
+    logits = jnp.einsum("bqhc,bkhc->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bkhc->bqhc", w, vh)
+    return out.reshape(q.shape)
+
+
+def attention(x, p, n_head, mask=None, kv_x=None):
+    kv_x = x if kv_x is None else kv_x
+    q = dense(x, p["q"])
+    k = dense(kv_x, p["k"])
+    v = dense(kv_x, p["v"])
+    return dense(mha(q, k, v, n_head, mask), p["o"])
+
+
+def mlp(x, p1, p2):
+    return dense(jax.nn.gelu(dense(x, p1), approximate=False), p2)
+
+
+def encoder_apply(cfg: WhisperConfig, params: Params, mel: jnp.ndarray) -> jnp.ndarray:
+    """mel [B, 3000, n_mels] → audio features [B, 1500, d_audio]."""
+    enc = params["encoder"]
+    x = mel.astype(cfg.dtype)
+
+    # conv1: k=3, s=1, SAME. Express as matmul over unfolded patches — a
+    # [B*T, 3*n_mels] x [3*n_mels, d] MXU matmul.
+    x = _conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], stride=1)
+    x = jax.nn.gelu(x, approximate=False)
+    x = _conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2)
+    x = jax.nn.gelu(x, approximate=False)
+
+    x = x + enc["pos"][None, : x.shape[1]].astype(x.dtype)
+
+    def block(carry, layer):
+        h = carry
+        h = h + attention(layer_norm(h, layer["attn_ln"]), layer["attn"], cfg.n_audio_head)
+        h = h + mlp(layer_norm(h, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
+        return h, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
+def _conv1d(x, w, b, stride: int):
+    """x [B, T, Cin], w [K, Cin, Cout] → [B, T//stride, Cout] (SAME pad)."""
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NTC", "TIO", "NTC"),
+        preferred_element_type=x.dtype,
+    ) + b
+
+
+# ---------------------------------------------------------------------------
+# Decoder with KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: WhisperConfig, batch: int) -> dict:
+    """Static KV slab: [L, B, n_text_ctx, H, hd] for k and v."""
+    shape = (
+        cfg.n_text_layer,
+        batch,
+        cfg.n_text_ctx,
+        cfg.n_text_head,
+        cfg.n_text_state // cfg.n_text_head,
+    )
+    return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+
+
+def precompute_xa_kv(cfg: WhisperConfig, params: Params, xa: jnp.ndarray) -> dict:
+    """Cross-attention K/V from encoder output, once per window.
+
+    xa: [B, 1500, d] → {"k","v"}: [L, B, 1500, H, hd]."""
+    blocks = params["decoder"]["blocks"]
+    h = cfg.n_text_head
+
+    def per_layer(carry, layer):
+        ca = layer["cross_attn"]
+        k = _split_heads(dense(xa, ca["k"]), h)
+        v = _split_heads(dense(xa, ca["v"]), h)
+        return carry, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(per_layer, None, blocks)
+    return {"k": ks, "v": vs}
+
+
+def decoder_apply(
+    cfg: WhisperConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, T] int32
+    pos_offset: jnp.ndarray,  # scalar int32: position of tokens[:, 0]
+    kv_cache: dict,
+    xa_kv: dict,
+):
+    """Run the decoder on ``tokens`` (prefill T>1 or single step T=1),
+    updating the self-attn KV cache in place at [pos_offset, pos_offset+T).
+
+    Returns (logits [B, T, n_vocab] fp32, new_kv_cache).
+    """
+    dec = params["decoder"]
+    B, T = tokens.shape
+    h = cfg.n_text_head
+    ctx = cfg.n_text_ctx
+
+    x = dec["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(
+        dec["pos_emb"], pos_offset, T, axis=0
+    )
+    x = x.astype(cfg.dtype)
+
+    # Mask over cache positions: attend to [0, pos_offset + i] for query i.
+    kpos = jnp.arange(ctx)[None, :]  # [1, ctx]
+    qpos = pos_offset + jnp.arange(T)[:, None]  # [T, 1]
+    self_mask = (kpos <= qpos)[None, None]  # [1, 1, T, ctx]
+
+    d = cfg.n_text_state
+    scale = (d // h) ** -0.25
+
+    def block(carry, inputs):
+        hx = carry
+        layer, k_cache, v_cache, xa_k, xa_v = inputs
+
+        # -- causal self-attention over the cache slab
+        y = layer_norm(hx, layer["attn_ln"])
+        q = _split_heads(dense(y, layer["attn"]["q"]), h)
+        k_new = _split_heads(dense(y, layer["attn"]["k"]), h)
+        v_new = _split_heads(dense(y, layer["attn"]["v"]), h)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos_offset, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos_offset, axis=1)
+        logits = jnp.einsum(
+            "bqhc,bkhc->bhqk", q * scale, k_cache * scale,
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(self_mask, logits, jnp.float32(-1e30))
+        w = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+        sa = jnp.einsum("bhqk,bkhc->bqhc", w, v_cache).reshape(B, T, d)
+        hx = hx + dense(sa, layer["attn"]["o"])
+
+        # -- cross-attention against precomputed audio K/V
+        y = layer_norm(hx, layer["cross_attn_ln"])
+        q = _split_heads(dense(y, layer["cross_attn"]["q"]), h)
+        logits = jnp.einsum(
+            "bqhc,bkhc->bhqk", q * scale, xa_k * scale,
+            preferred_element_type=jnp.float32,
+        )
+        w = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+        ca = jnp.einsum("bhqk,bkhc->bqhc", w, xa_v).reshape(B, T, d)
+        hx = hx + dense(ca, layer["cross_attn"]["o"])
+
+        hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
+        return hx, (k_cache, v_cache, w)
+
+    x, (new_k, new_v, cross_w) = jax.lax.scan(
+        block,
+        x,
+        (dec["blocks"], kv_cache["k"], kv_cache["v"], xa_kv["k"], xa_kv["v"]),
+    )
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.einsum(
+        "btd,vd->btv", x, dec["tok_emb"], preferred_element_type=jnp.float32
+    )
+    return logits, {"k": new_k, "v": new_v}, cross_w
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+# Jitted entry points (cfg is hashable → static).
+encode = jax.jit(encoder_apply, static_argnums=0)
+"""Jitted encoder: (cfg, params, mel [B,3000,n_mels]) → [B,1500,d]."""
+
+encode_xa_kv = jax.jit(
+    lambda cfg, params, mel: precompute_xa_kv(
+        cfg, params, encoder_apply(cfg, params, mel)
+    ),
+    static_argnums=0,
+)
+"""Jitted encoder + cross-attention K/V precompute in one fused call."""
