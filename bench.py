@@ -1,0 +1,86 @@
+"""Headline benchmark: offline batched transcription RTFx on whisper large-v3.
+
+Measures the full pipeline (log-mel → encoder → KV-cached greedy decode of
+128 tokens/window, the realistic token budget for dense speech) on one TPU
+chip, batch of 8 × 30 s windows, steady state. Prints ONE JSON line.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the north-star
+target is ≥60× real-time per chip on large-v3, so ``vs_baseline`` is
+RTFx / 60.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from sentiric_stt_whisper_service_tpu.models import (
+        TokenIds,
+        build_suppress_mask,
+        config_for,
+        decode_window,
+        encode_xa_kv,
+        init_params,
+    )
+    from sentiric_stt_whisper_service_tpu.ops import N_SAMPLES, log_mel_spectrogram
+    from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
+
+    model_name = "large-v3"
+    B = 8
+    DECODE_TOKENS = 128
+
+    cfg = config_for(model_name)
+    params = init_params(cfg, jax.random.key(0))
+    tok = fallback_tokenizer(cfg.n_vocab)
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, tok.non_speech_tokens))
+    sot = tok.sot_sequence("en")
+    tinit = np.full((B, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[:, : len(sot)] = sot
+    tinit = jnp.asarray(tinit)
+    max_len = len(sot) + DECODE_TOKENS
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((B, N_SAMPLES)) * 0.05).astype(np.float32)
+
+    def pipeline(audio_batch):
+        mel = log_mel_spectrogram(audio_batch, n_mels=cfg.n_mels, dtype=cfg.dtype)
+        xa_kv = encode_xa_kv(cfg, params, mel)
+        return decode_window(
+            cfg, params, xa_kv, tinit, len(sot), 0, ids, sup,
+            jnp.float32(0.0), jax.random.key(1), max_len=max_len,
+        )
+
+    # Warmup / compile.
+    res = pipeline(audio)
+    jax.block_until_ready(res)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = pipeline(audio)
+        jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_seconds = B * 30.0
+    rtfx = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"RTFx_offline_batch{B}_{model_name}_greedy{DECODE_TOKENS}tok",
+                "value": round(rtfx, 1),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(rtfx / 60.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -195,7 +195,11 @@ def decode_window(
     B = tokens_init.shape[0]
     ctx = cfg.n_text_ctx
     max_len = max_len or ctx
-    kv = init_kv_cache(cfg, B)
+    # Right-size the self-attention KV slab: every decode step reads the
+    # whole slab from HBM, so a 448-slot slab for a 140-token decode would
+    # triple that traffic.
+    cache_len = min(ctx, -(-max_len // 64) * 64)
+    kv = init_kv_cache(cfg, B, cache_len)
 
     # --- prefill the prompt ---
     prefill_logits, kv, _ = decoder_apply(

@@ -240,18 +240,15 @@ def _split_heads(x, n_head):
 
 def mha(q, k, v, n_head: int, mask: Optional[jnp.ndarray] = None):
     """Multi-head attention. q,k,v: [B, T, d]; mask broadcastable to
-    [B, H, Tq, Tk] (True = attend). fp32 softmax."""
-    d = q.shape[-1]
+    [B, H, Tq, Tk] (True = attend). fp32 softmax, head-major core."""
+    b, t, d = q.shape
     scale = (d // n_head) ** -0.25
-    qh = _split_heads(q, n_head) * scale
-    kh = _split_heads(k, n_head) * scale
-    vh = _split_heads(v, n_head)
-    logits = jnp.einsum("bqhc,bkhc->bhqk", qh, kh, preferred_element_type=jnp.float32)
-    if mask is not None:
-        logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-    out = jnp.einsum("bhqk,bkhc->bqhc", w, vh)
-    return out.reshape(q.shape)
+
+    def to_heads(x):
+        return _split_heads(x, n_head).transpose(0, 2, 1, 3)
+
+    out, _ = _attend(to_heads(q) * scale, to_heads(k) * scale, to_heads(v), mask)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, d)
 
 
 def attention(x, p, n_head, mask=None, kv_x=None):
@@ -306,13 +303,17 @@ def _conv1d(x, w, b, stride: int):
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(cfg: WhisperConfig, batch: int) -> dict:
-    """Static KV slab: [L, B, n_text_ctx, H, hd] for k and v."""
+def init_kv_cache(cfg: WhisperConfig, batch: int, cache_len: Optional[int] = None) -> dict:
+    """Static KV slab, head-major: [L, B, H, cache_len, hd] for k and v.
+
+    Head-major layout keeps the per-step attention contractions
+    transpose-free (the K/V slabs are the dominant HBM traffic of every
+    decode step; a layout-induced copy would double it)."""
     shape = (
         cfg.n_text_layer,
         batch,
-        cfg.n_text_ctx,
         cfg.n_text_head,
+        cache_len or cfg.n_text_ctx,
         cfg.n_text_state // cfg.n_text_head,
     )
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
@@ -321,18 +322,40 @@ def init_kv_cache(cfg: WhisperConfig, batch: int) -> dict:
 def precompute_xa_kv(cfg: WhisperConfig, params: Params, xa: jnp.ndarray) -> dict:
     """Cross-attention K/V from encoder output, once per window.
 
-    xa: [B, 1500, d] → {"k","v"}: [L, B, 1500, H, hd]."""
+    xa: [B, 1500, d] → {"k","v"}: [L, B, H, 1500, hd] (head-major)."""
     blocks = params["decoder"]["blocks"]
     h = cfg.n_text_head
 
     def per_layer(carry, layer):
         ca = layer["cross_attn"]
-        k = _split_heads(dense(xa, ca["k"]), h)
-        v = _split_heads(dense(xa, ca["v"]), h)
+        k = _split_heads(dense(xa, ca["k"]), h).transpose(0, 2, 1, 3)
+        v = _split_heads(dense(xa, ca["v"]), h).transpose(0, 2, 1, 3)
         return carry, (k, v)
 
     _, (ks, vs) = jax.lax.scan(per_layer, None, blocks)
     return {"k": ks, "v": vs}
+
+
+def _attend(q, k, v, mask=None):
+    """Head-major attention core. q [B,H,T,c]; k,v [B,H,K,c]; fp32 softmax.
+
+    Contractions are expressed so no operand needs a layout transpose:
+    scores contract c (minor dim of both q and k), values contract K.
+    """
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # [B,H,T,K]
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jax.lax.dot_general(
+        w, v,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # [B,H,T,c]
+    return out.astype(v.dtype), w
 
 
 def decoder_apply(
@@ -342,11 +365,14 @@ def decoder_apply(
     pos_offset: jnp.ndarray,  # scalar int32: position of tokens[:, 0]
     kv_cache: dict,
     xa_kv: dict,
+    collect_cross_attn: bool = False,
 ):
     """Run the decoder on ``tokens`` (prefill T>1 or single step T=1),
     updating the self-attn KV cache in place at [pos_offset, pos_offset+T).
 
-    Returns (logits [B, T, n_vocab] fp32, new_kv_cache).
+    Returns (logits [B, T, n_vocab] fp32, new_kv_cache, cross_attn_weights).
+    ``cross_attn_weights`` is [L, B, H, T, 1500] when ``collect_cross_attn``
+    (for DTW word timestamps), else None.
     """
     dec = params["decoder"]
     B, T = tokens.shape
@@ -358,13 +384,17 @@ def decoder_apply(
     )
     x = x.astype(cfg.dtype)
 
+    cache_len = kv_cache["k"].shape[3]
     # Mask over cache positions: attend to [0, pos_offset + i] for query i.
-    kpos = jnp.arange(ctx)[None, :]  # [1, ctx]
+    kpos = jnp.arange(cache_len)[None, :]  # [1, cache_len]
     qpos = pos_offset + jnp.arange(T)[:, None]  # [T, 1]
-    self_mask = (kpos <= qpos)[None, None]  # [1, 1, T, ctx]
+    self_mask = (kpos <= qpos)[None, None]  # [1, 1, T, cache_len]
 
     d = cfg.n_text_state
     scale = (d // h) ** -0.25
+
+    def to_heads(y):  # [B,T,d] → head-major [B,H,T,c]
+        return _split_heads(y, h).transpose(0, 2, 1, 3)
 
     def block(carry, inputs):
         hx = carry
@@ -372,33 +402,26 @@ def decoder_apply(
 
         # -- causal self-attention over the cache slab
         y = layer_norm(hx, layer["attn_ln"])
-        q = _split_heads(dense(y, layer["attn"]["q"]), h)
-        k_new = _split_heads(dense(y, layer["attn"]["k"]), h)
-        v_new = _split_heads(dense(y, layer["attn"]["v"]), h)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos_offset, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos_offset, axis=1)
-        logits = jnp.einsum(
-            "bqhc,bkhc->bhqk", q * scale, k_cache * scale,
-            preferred_element_type=jnp.float32,
-        )
-        logits = jnp.where(self_mask, logits, jnp.float32(-1e30))
-        w = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
-        sa = jnp.einsum("bhqk,bkhc->bqhc", w, v_cache).reshape(B, T, d)
+        q = to_heads(dense(y, layer["attn"]["q"]))
+        k_new = to_heads(dense(y, layer["attn"]["k"]))
+        v_new = to_heads(dense(y, layer["attn"]["v"]))
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos_offset, axis=2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos_offset, axis=2)
+        sa, _ = _attend(q * scale, k_cache * scale, v_cache, self_mask)
+        sa = sa.transpose(0, 2, 1, 3).reshape(B, T, d)
         hx = hx + dense(sa, layer["attn"]["o"])
 
         # -- cross-attention against precomputed audio K/V
         y = layer_norm(hx, layer["cross_attn_ln"])
-        q = _split_heads(dense(y, layer["cross_attn"]["q"]), h)
-        logits = jnp.einsum(
-            "bqhc,bkhc->bhqk", q * scale, xa_k * scale,
-            preferred_element_type=jnp.float32,
-        )
-        w = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
-        ca = jnp.einsum("bhqk,bkhc->bqhc", w, xa_v).reshape(B, T, d)
+        q = to_heads(dense(y, layer["cross_attn"]["q"]))
+        ca, w = _attend(q * scale, xa_k * scale, xa_v)
+        ca = ca.transpose(0, 2, 1, 3).reshape(B, T, d)
         hx = hx + dense(ca, layer["cross_attn"]["o"])
 
         hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
-        return hx, (k_cache, v_cache, w)
+        if collect_cross_attn:
+            return hx, (k_cache, v_cache, w)
+        return hx, (k_cache, v_cache, None)
 
     x, (new_k, new_v, cross_w) = jax.lax.scan(
         block,

@@ -1,0 +1,8 @@
+from .mesh import (  # noqa: F401
+    data_sharding,
+    kv_cache_shardings,
+    make_mesh,
+    param_shardings,
+    shard_params,
+    xa_kv_shardings,
+)

@@ -1,0 +1,322 @@
+"""Affective prosody extraction as batched XLA ops.
+
+Re-implements the reference's pure-CPU DSP (SURVEY.md §2.1 "Prosody
+extractor"; /root/reference/src/prosody_extractor.cpp) with identical
+numeric semantics, but TPU-shaped: the per-frame loops become framed
+reductions over a [n_frames, 160] view, and the only truly sequential
+piece — the one-pole low-pass IIR — runs as a ``lax.associative_scan``
+(log-depth parallel scan) over the whole clip.
+
+Semantics mirrored exactly (all cited from prosody_extractor.cpp):
+  * 10 ms frames: ``frame_shift = sr/100`` (:50), trailing partial frame
+    dropped (:63);
+  * per-frame RMS (:69-77), energy-onset peak counting at the 0.05
+    threshold (:80-83), standard ZCR (:93,111-112);
+  * LPF ``y += alpha*(x-y)`` carried across frame boundaries (:74-75);
+  * hysteresis cycle counting on the filtered signal with clipping
+    threshold ``max(0.002, rms*0.15)`` (:85-110), F0 accepted when
+    ``rms>0.015`` and within [min_pitch, max_pitch] (:114-119);
+  * first-difference spectral-centroid proxy (:121-127);
+  * lower-median pitch (nth_element n/2 semantics, :19-24,130);
+  * octave-error halving heuristics (:140-148), whisper-aware gender
+    rules (:155-163), relative-emotion valence/arousal (:166-186), and
+    the 8-D gender-polarized speaker vector (:191-221).
+
+The public API returns an :class:`AffectiveTags` matching the reference's
+struct (prosody_extractor.h:6-18).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ProsodyOptions:
+    """Tunables (reference prosody_extractor.h:21-27)."""
+
+    lpf_alpha: float = 0.07
+    gender_threshold: float = 170.0
+    min_pitch: float = 60.0
+    max_pitch: float = 500.0
+
+
+GENDER_CODES = ("?", "M", "F")
+EMOTION_CODES = ("neutral", "excited", "angry", "sad")
+
+
+@dataclasses.dataclass
+class AffectiveTags:
+    gender_proxy: str = "?"
+    emotion_proxy: str = "neutral"
+    pitch_mean: float = 0.0
+    pitch_std: float = 0.0
+    energy_mean: float = 0.0
+    energy_std: float = 0.0
+    spectral_centroid: float = 0.0
+    zero_crossing_rate: float = 0.0
+    arousal: float = 0.0
+    valence: float = 0.0
+    speaker_vec: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(8, np.float32)
+    )
+    speech_rate: float = 0.0
+
+
+class ProsodyNumeric(NamedTuple):
+    """Device-side numeric result (strings encoded as int codes)."""
+
+    pitch_mean: jnp.ndarray
+    pitch_std: jnp.ndarray
+    energy_mean: jnp.ndarray
+    energy_std: jnp.ndarray
+    spectral_centroid: jnp.ndarray
+    zero_crossing_rate: jnp.ndarray
+    arousal: jnp.ndarray
+    valence: jnp.ndarray
+    gender_code: jnp.ndarray  # 0 '?', 1 'M', 2 'F'
+    emotion_code: jnp.ndarray  # 0 neutral, 1 excited, 2 angry, 3 sad
+    speaker_vec: jnp.ndarray  # [8]
+    speech_rate: jnp.ndarray
+
+
+def _one_pole_lpf(x: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """y[t] = y[t-1] + alpha*(x[t] - y[t-1]), y[-1] = 0, via parallel scan."""
+    a = jnp.full_like(x, 1.0 - alpha)
+    b = x * alpha
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, bl * ar + br
+
+    _, y = jax.lax.associative_scan(combine, (a, b))
+    return y
+
+
+def _soft_norm(val, lo, hi):
+    return jnp.clip((val - lo) / (hi - lo), 0.0, 1.0)
+
+
+def _masked_lower_median(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """nth_element(n/2) semantics: element at sorted index count//2."""
+    count = jnp.sum(valid)
+    padded = jnp.where(valid, vals, jnp.inf)
+    s = jnp.sort(padded)
+    idx = jnp.clip(count // 2, 0, vals.shape[0] - 1)
+    return jnp.where(count > 0, s[idx], 0.0)
+
+
+def _masked_mean_std(vals, valid):
+    count = jnp.maximum(jnp.sum(valid), 1)
+    mean = jnp.sum(jnp.where(valid, vals, 0.0)) / count
+    var = jnp.sum(jnp.where(valid, (vals - mean) ** 2, 0.0)) / count
+    has = jnp.sum(valid) > 0
+    return jnp.where(has, mean, 0.0), jnp.where(has, jnp.sqrt(var), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "opts"))
+def prosody_numeric(
+    audio: jnp.ndarray,  # [N] float32 (padded)
+    n_samples: jnp.ndarray,  # scalar int32: valid length
+    sample_rate: int = 16000,
+    opts: ProsodyOptions = ProsodyOptions(),
+) -> ProsodyNumeric:
+    """Numeric prosody core. ``audio`` may be zero-padded; only the first
+    ``n_samples`` are analyzed (frames fully inside the valid region)."""
+    shift = sample_rate // 100
+    n_pad = audio.shape[0]
+    n_frames = n_pad // shift
+    x = audio[: n_frames * shift]
+
+    # frame validity: frame f covers [f*shift, (f+1)*shift) — valid iff
+    # fully inside n_samples (C++ loop condition i + frame_shift <= n).
+    fidx = jnp.arange(n_frames)
+    frame_valid = (fidx + 1) * shift <= n_samples
+
+    frames = x.reshape(n_frames, shift)
+    filt = _one_pole_lpf(x, opts.lpf_alpha).reshape(n_frames, shift)
+
+    # --- RMS energy + onset peaks ---
+    rms = jnp.sqrt(jnp.mean(frames * frames, axis=1))
+    prev_rms = jnp.concatenate([jnp.zeros(1), rms[:-1]])
+    peaks = frame_valid & (rms > 0.05) & (prev_rms <= 0.05)
+    peak_count = jnp.sum(peaks)
+
+    # --- standard ZCR over the frame (k = 1..shift-1) ---
+    nonneg = filt >= 0.0
+    zc = jnp.sum(nonneg[:, 1:] != nonneg[:, :-1], axis=1)
+    zcr = zc.astype(jnp.float32) / shift
+
+    # --- hysteresis cycle counting on the filtered frame ---
+    c = jnp.maximum(0.002, rms * 0.15)[:, None]
+    sign = jnp.where(filt > c, 1, jnp.where(filt < -c, -1, 0))
+    # forward-fill of the previous nonzero sign (exclusive)
+    pos_of_nz = jnp.where(sign != 0, jnp.arange(shift)[None, :], -1)
+    last_nz_idx = jax.lax.cummax(pos_of_nz, axis=1)
+    prev_nz_idx = jnp.concatenate(
+        [jnp.full((n_frames, 1), -1), last_nz_idx[:, :-1]], axis=1
+    )
+    prev_sign = jnp.where(
+        prev_nz_idx >= 0,
+        jnp.take_along_axis(sign, jnp.maximum(prev_nz_idx, 0), axis=1),
+        0,
+    )
+    # C++ counts a cycle when state is positive and val < -c; state follows
+    # the last ±c crossing. k=0 never counts (loop starts at k=1).
+    cycles = jnp.sum((sign[:, 1:] == -1) & (prev_sign[:, 1:] == 1), axis=1)
+
+    dur_frame = shift / sample_rate
+    f0 = cycles.astype(jnp.float32) / dur_frame
+    f0_valid = (
+        frame_valid
+        & (rms > 0.015)
+        & (cycles > 0)
+        & (f0 >= opts.min_pitch)
+        & (f0 <= opts.max_pitch)
+    )
+
+    # --- spectral centroid proxy (first differences of the RAW frame) ---
+    k = jnp.arange(1, shift)[None, :].astype(jnp.float32)
+    diff = jnp.abs(frames[:, 1:] - frames[:, :-1])
+    power = jnp.sum(diff, axis=1)
+    weighted = jnp.sum(diff * k, axis=1)
+    sc = jnp.where(power > 0, weighted / jnp.maximum(power, 1e-20), 0.0)
+
+    # --- aggregation (reference :130-135) ---
+    pitch_mean = _masked_lower_median(f0, f0_valid)
+    f0_mean, pitch_std = _masked_mean_std(f0, f0_valid)
+    energy_mean, energy_std = _masked_mean_std(rms, frame_valid)
+    any_frame = jnp.sum(frame_valid) > 0
+    energy_mean = jnp.where(any_frame, energy_mean, 0.01)
+    sc_mean = jnp.where(
+        any_frame, _masked_mean_std(sc, frame_valid)[0], 50.0
+    )
+    zcr_mean = jnp.where(any_frame, _masked_mean_std(zcr, frame_valid)[0], 0.1)
+
+    # --- octave-error heuristics (:140-148) ---
+    is_high = pitch_mean > opts.gender_threshold
+    is_low_zcr = zcr_mean < 0.024
+    halve1 = is_high & is_low_zcr
+    halve2 = (~halve1) & (energy_mean > 0.12) & (pitch_mean < 240.0) & (sc_mean < 90.0)
+    pitch_mean = jnp.where(halve1 | halve2, pitch_mean * 0.5, pitch_mean)
+
+    duration = n_samples.astype(jnp.float32) / sample_rate
+    speech_rate = jnp.where(duration > 0, peak_count / jnp.maximum(duration, 1e-9), 0.0)
+
+    # --- gender (:155-163): 0 '?', 1 'M', 2 'F' ---
+    unknown = (pitch_mean == 0.0) | (energy_mean < 0.018)
+    male_zcr = zcr_mean < 0.030
+    female = pitch_mean > opts.gender_threshold
+    gender = jnp.where(
+        unknown, 0, jnp.where(male_zcr, 1, jnp.where(female, 2, 1))
+    )
+
+    # --- relative emotion (:166-186) ---
+    norm_pitch = jnp.where(
+        gender == 1,
+        _soft_norm(pitch_mean, 60.0, 180.0),
+        _soft_norm(pitch_mean, 160.0, 350.0),
+    )
+    norm_bright = _soft_norm(sc_mean, 40.0, 150.0)
+    valence = (norm_pitch * 0.4 + norm_bright * 0.6) * 2.0 - 1.0 + 0.35
+    norm_energy = _soft_norm(energy_mean, 0.02, 0.20)
+    norm_rate = _soft_norm(speech_rate, 2.0, 9.0)
+    arousal = norm_energy * 0.7 + norm_rate * 0.3
+    emotion = jnp.where(
+        arousal > 0.65,
+        jnp.where(valence > 0.1, 1, 2),  # excited / angry
+        jnp.where((arousal < 0.30) & (valence < -0.4), 3, 0),  # sad / neutral
+    )
+
+    # --- 8-D polarized speaker vector (:191-221) ---
+    base_pitch = jnp.where(
+        gender == 1,
+        _soft_norm(pitch_mean, 60.0, 200.0) * 0.4,
+        jnp.where(
+            gender == 2,
+            0.6 + _soft_norm(pitch_mean, 160.0, 350.0) * 0.4,
+            0.5,
+        ),
+    )
+    vec = jnp.stack(
+        [
+            base_pitch,
+            _soft_norm(sc_mean, 40.0, 250.0),
+            _soft_norm(pitch_std, 5.0, 100.0) * 0.1,
+            _soft_norm(energy_mean, 0.0, 0.3) * 0.1,
+            _soft_norm(zcr_mean, 0.0, 0.5) * 0.8,
+            _soft_norm(speech_rate, 1.0, 12.0) * 0.1,
+            arousal * 0.05,
+            ((valence + 1.0) / 2.0) * 0.05,
+        ]
+    )
+
+    # Empty-input path (reference :35-48): n < 160 → neutral tags.
+    empty = n_samples < shift
+    def z(v, alt=0.0):
+        return jnp.where(empty, alt, v)
+
+    return ProsodyNumeric(
+        pitch_mean=z(pitch_mean),
+        pitch_std=z(pitch_std),
+        energy_mean=z(energy_mean),
+        energy_std=z(energy_std),
+        spectral_centroid=z(sc_mean),
+        zero_crossing_rate=z(zcr_mean),
+        arousal=z(arousal),
+        valence=z(valence),
+        gender_code=jnp.where(empty, 0, gender),
+        emotion_code=jnp.where(empty, 0, emotion),
+        speaker_vec=jnp.where(empty, jnp.zeros(8), vec),
+        speech_rate=z(speech_rate),
+    )
+
+
+def _bucket_len(n: int, sample_rate: int) -> int:
+    """Pad lengths to power-of-two frame counts to bound recompiles."""
+    shift = sample_rate // 100
+    frames = max(1, -(-n // shift))
+    size = 1
+    while size < frames:
+        size *= 2
+    return size * shift
+
+
+def extract_prosody(
+    audio: np.ndarray,
+    sample_rate: int = 16000,
+    opts: ProsodyOptions = ProsodyOptions(),
+) -> AffectiveTags:
+    """Host API matching the reference's ``extract_prosody`` contract."""
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    n = audio.shape[0]
+    if n < 160:
+        return AffectiveTags()
+    padded_len = _bucket_len(n, sample_rate)
+    padded = np.zeros(padded_len, np.float32)
+    padded[:n] = audio
+    r = prosody_numeric(
+        jnp.asarray(padded), jnp.int32(n), sample_rate=sample_rate, opts=opts
+    )
+    r = jax.tree.map(np.asarray, r)
+    return AffectiveTags(
+        gender_proxy=GENDER_CODES[int(r.gender_code)],
+        emotion_proxy=EMOTION_CODES[int(r.emotion_code)],
+        pitch_mean=float(r.pitch_mean),
+        pitch_std=float(r.pitch_std),
+        energy_mean=float(r.energy_mean),
+        energy_std=float(r.energy_std),
+        spectral_centroid=float(r.spectral_centroid),
+        zero_crossing_rate=float(r.zero_crossing_rate),
+        arousal=float(r.arousal),
+        valence=float(r.valence),
+        speaker_vec=r.speaker_vec.astype(np.float32),
+        speech_rate=float(r.speech_rate),
+    )

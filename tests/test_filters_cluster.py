@@ -1,0 +1,108 @@
+import numpy as np
+
+from sentiric_stt_whisper_service_tpu.diarize import SpeakerClusterer, cosine_similarity
+from sentiric_stt_whisper_service_tpu.text import clean_utf8, is_hallucination
+
+
+class TestHallucination:
+    def test_empty_and_short(self):
+        assert is_hallucination("")
+        assert is_hallucination("   ")
+        assert is_hallucination("a")
+        assert not is_hallucination("ab")
+
+    def test_punct_only(self):
+        assert is_hallucination("...")
+        assert is_hallucination(" ?! ")
+
+    def test_bracketed(self):
+        assert is_hallucination("[MUSIC]")
+        assert is_hallucination("(laughs)")
+        assert not is_hallucination("[partial text")
+
+    def test_banned_substrings(self):
+        assert is_hallucination("Altyazı M.K.")
+        assert is_hallucination("Thanks for watching!")
+        # "www." is 4 bytes → falls in the exact-match tier only
+        # (reference: substring matching requires phrase length > 4).
+        assert is_hallucination("www.")
+        assert not is_hallucination("visit www.example.org")
+        assert is_hallucination("İzlediğiniz için teşekkürler")
+        assert is_hallucination("ご視聴ありがとうございました")
+
+    def test_short_exact_only(self):
+        # "Okay." (<=6 bytes) matches only exactly-stripped, not substring.
+        assert is_hallucination("Okay.")
+        # The phrase keeps its period through the comparison, so bare
+        # "Okay" does NOT match (reference behavior).
+        assert not is_hallucination("Okay")
+        assert not is_hallucination("Okay, let's begin the meeting")
+
+    def test_short_noises(self):
+        assert is_hallucination("Hmm.")
+        assert is_hallucination("ah")
+        assert not is_hallucination("Ahead of time")
+
+    def test_normal_speech_passes(self):
+        for text in [
+            "The quick brown fox jumps over the lazy dog",
+            "Bugün hava çok güzel",
+            "Let me check the schedule for tomorrow",
+        ]:
+            assert not is_hallucination(text)
+
+    def test_ascii_only_lowercasing(self):
+        # C++ ::tolower doesn't touch multibyte chars; "TEŞEKKÜRLER" is in
+        # the list explicitly, and its exact form must match.
+        assert is_hallucination("TEŞEKKÜRLER")
+
+
+class TestCleanUtf8:
+    def test_valid_passthrough(self):
+        assert clean_utf8("hello dünya 日本") == "hello dünya 日本"
+
+    def test_invalid_bytes_dropped(self):
+        assert clean_utf8(b"ab\xff\xfecd") == "abcd"
+
+    def test_truncated_sequence(self):
+        assert clean_utf8(b"ok\xe6\x97") == "ok"
+
+    def test_lone_continuation(self):
+        assert clean_utf8(b"\x80\x80ab") == "ab"
+
+
+class TestClusterer:
+    def test_first_assign(self):
+        c = SpeakerClusterer(0.88)
+        assert c.assign_or_add(np.ones(8)) == "spk_0"
+        assert c.n_clusters == 1
+
+    def test_same_vector_reassigned(self):
+        c = SpeakerClusterer(0.88)
+        v = np.array([0.3, 0.5, 0.01, 0.02, 0.2, 0.05, 0.02, 0.03])
+        assert c.assign_or_add(v) == "spk_0"
+        assert c.assign_or_add(v * 1.01) == "spk_0"
+        assert c.n_clusters == 1
+
+    def test_distinct_speakers_split(self):
+        c = SpeakerClusterer(0.88)
+        # Realistic polarized vectors: dim0 ≈ 0.08 (M) vs 0.95 (F) — the
+        # gender polarization is what pushes cosine below the threshold.
+        male = np.array([0.08, 0.3, 0.01, 0.02, 0.15, 0.04, 0.02, 0.02])
+        female = np.array([0.95, 0.55, 0.01, 0.03, 0.35, 0.05, 0.03, 0.03])
+        assert c.assign_or_add(male) == "spk_0"
+        assert c.assign_or_add(female) == "spk_1"
+        assert c.assign_or_add(male + 0.005) == "spk_0"
+
+    def test_centroid_running_mean(self):
+        c = SpeakerClusterer(0.5)
+        c.assign_or_add(np.array([1.0] * 8))
+        c.assign_or_add(np.array([0.5] * 8))
+        np.testing.assert_allclose(c._centroids[0], np.full(8, 0.75))
+
+    def test_zero_vector_cosine(self):
+        assert cosine_similarity(np.zeros(8), np.ones(8)) == 0.0
+        c = SpeakerClusterer(0.88)
+        c.assign_or_add(np.ones(8))
+        # zero vec has sim 0 with everything → new cluster
+        assert c.assign_or_add(np.zeros(8)) == "spk_1"

@@ -1,0 +1,192 @@
+"""Prosody parity tests vs a straight-line numpy reference implementing the
+exact semantics of /root/reference/src/prosody_extractor.cpp."""
+
+import numpy as np
+import pytest
+
+from sentiric_stt_whisper_service_tpu.prosody.extractor import (
+    AffectiveTags,
+    ProsodyOptions,
+    extract_prosody,
+)
+
+
+def ref_prosody(pcm, sample_rate=16000, opts=ProsodyOptions()):
+    """Independent sequential reference (same math as the C++, lines cited
+    in extractor.py)."""
+    n = len(pcm)
+    out = {}
+    shift = sample_rate // 100
+    f0s, rmses, zcrs, scs = [], [], [], []
+    peak_count = 0
+    last_rms = 0.0
+    lpf = 0.0
+    i = 0
+    while i + shift <= n:
+        frame = pcm[i : i + shift]
+        filt = np.empty(shift)
+        for k in range(shift):
+            lpf += opts.lpf_alpha * (frame[k] - lpf)
+            filt[k] = lpf
+        rms = float(np.sqrt(np.mean(frame**2)))
+        rmses.append(rms)
+        if rms > 0.05 and last_rms <= 0.05:
+            peak_count += 1
+        last_rms = rms
+        c = max(0.002, rms * 0.15)
+        cycles = 0
+        is_pos = False
+        init = False
+        zc = 0
+        for k in range(1, shift):
+            v = filt[k]
+            if (v >= 0) != (filt[k - 1] >= 0):
+                zc += 1
+            if not init:
+                if v > c:
+                    is_pos, init = True, True
+                elif v < -c:
+                    is_pos, init = False, True
+            else:
+                if is_pos and v < -c:
+                    is_pos = False
+                    cycles += 1
+                elif not is_pos and v > c:
+                    is_pos = True
+        zcrs.append(zc / shift)
+        if rms > 0.015 and cycles > 0:
+            f0 = cycles / (shift / sample_rate)
+            if opts.min_pitch <= f0 <= opts.max_pitch:
+                f0s.append(f0)
+        diff = np.abs(np.diff(frame))
+        power = diff.sum()
+        weighted = (diff * np.arange(1, shift)).sum()
+        scs.append(weighted / power if power > 0 else 0.0)
+        i += shift
+
+    def lower_median(v):
+        if not v:
+            return 0.0
+        s = sorted(v)
+        return s[len(s) // 2]
+
+    pitch_mean = lower_median(f0s)
+    pitch_std = float(np.std(f0s)) if f0s else 0.0
+    energy_mean = float(np.mean(rmses)) if rmses else 0.01
+    energy_std = float(np.std(rmses)) if rmses else 0.0
+    sc_mean = float(np.mean(scs)) if scs else 50.0
+    zcr_mean = float(np.mean(zcrs)) if zcrs else 0.1
+
+    if pitch_mean > opts.gender_threshold and zcr_mean < 0.024:
+        pitch_mean *= 0.5
+    elif energy_mean > 0.12 and pitch_mean < 240.0 and sc_mean < 90.0:
+        pitch_mean *= 0.5
+
+    duration = n / sample_rate
+    rate = peak_count / duration if duration > 0 else 0.0
+
+    if pitch_mean == 0.0 or energy_mean < 0.018:
+        gender = "?"
+    elif zcr_mean < 0.030:
+        gender = "M"
+    else:
+        gender = "F" if pitch_mean > opts.gender_threshold else "M"
+
+    def soft(v, lo, hi):
+        return min(1.0, max(0.0, (v - lo) / (hi - lo)))
+
+    if gender == "M":
+        np_ = soft(pitch_mean, 60, 180)
+    else:
+        np_ = soft(pitch_mean, 160, 350)
+    nb = soft(sc_mean, 40, 150)
+    valence = (np_ * 0.4 + nb * 0.6) * 2 - 1 + 0.35
+    arousal = soft(energy_mean, 0.02, 0.2) * 0.7 + soft(rate, 2, 9) * 0.3
+    if arousal > 0.65:
+        emotion = "excited" if valence > 0.1 else "angry"
+    elif arousal < 0.30:
+        emotion = "sad" if valence < -0.4 else "neutral"
+    else:
+        emotion = "neutral"
+
+    if gender == "M":
+        bp = soft(pitch_mean, 60, 200) * 0.4
+    elif gender == "F":
+        bp = 0.6 + soft(pitch_mean, 160, 350) * 0.4
+    else:
+        bp = 0.5
+    vec = [
+        bp,
+        soft(sc_mean, 40, 250),
+        soft(pitch_std, 5, 100) * 0.1,
+        soft(energy_mean, 0, 0.3) * 0.1,
+        soft(zcr_mean, 0, 0.5) * 0.8,
+        soft(rate, 1, 12) * 0.1,
+        arousal * 0.05,
+        (valence + 1) / 2 * 0.05,
+    ]
+    return dict(
+        pitch_mean=pitch_mean, pitch_std=pitch_std, energy_mean=energy_mean,
+        energy_std=energy_std, spectral_centroid=sc_mean,
+        zero_crossing_rate=zcr_mean, arousal=arousal, valence=valence,
+        gender=gender, emotion=emotion, speaker_vec=np.array(vec, np.float32),
+        speech_rate=rate,
+    )
+
+
+def make_tone(freq, dur=0.8, sr=16000, amp=0.1):
+    t = np.arange(int(dur * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+CASES = {
+    "male_tone_120": make_tone(120.0, amp=0.08),
+    "female_tone_250": make_tone(250.0, amp=0.08),
+    "loud_low": make_tone(100.0, amp=0.3),
+    "whisper_soft": make_tone(200.0, amp=0.01),
+    "noise": (np.random.default_rng(3).standard_normal(12800) * 0.05).astype(np.float32),
+    "speech_like": (
+        make_tone(140, 0.5, amp=0.15).tolist() + [0.0] * 1600 + make_tone(180, 0.4, amp=0.12).tolist()
+    ),
+    "odd_length": make_tone(150.0, dur=0.517),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_parity_with_reference_math(name):
+    pcm = np.asarray(CASES[name], np.float32)
+    want = ref_prosody(pcm.astype(np.float64))
+    got = extract_prosody(pcm)
+    assert got.gender_proxy == want["gender"], name
+    assert got.emotion_proxy == want["emotion"], name
+    np.testing.assert_allclose(got.pitch_mean, want["pitch_mean"], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(got.pitch_std, want["pitch_std"], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(got.energy_mean, want["energy_mean"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got.energy_std, want["energy_std"], rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        got.spectral_centroid, want["spectral_centroid"], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        got.zero_crossing_rate, want["zero_crossing_rate"], rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(got.arousal, want["arousal"], rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(got.valence, want["valence"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got.speaker_vec, want["speaker_vec"], rtol=1e-3, atol=1e-4)
+
+
+def test_short_input_neutral():
+    tags = extract_prosody(np.zeros(100, np.float32))
+    assert tags.gender_proxy == "?" and tags.emotion_proxy == "neutral"
+    assert np.all(tags.speaker_vec == 0)
+
+
+def test_gender_classification_tones():
+    # 120 Hz tone → male-range pitch; sine has low ZCR → M via zcr rule.
+    male = extract_prosody(make_tone(120.0, amp=0.1))
+    assert male.gender_proxy == "M"
+    # Cycle counting has 100 Hz granularity per 10 ms frame, so a 120 Hz
+    # tone reads as 100 Hz (same as the reference DSP).
+    assert 95 <= male.pitch_mean < 145
+    # Soft whisper → '?'
+    wh = extract_prosody(make_tone(200.0, amp=0.005))
+    assert wh.gender_proxy == "?"
