@@ -23,9 +23,11 @@ class TestHallucination:
     def test_banned_substrings(self):
         assert is_hallucination("Altyazı M.K.")
         assert is_hallucination("Thanks for watching!")
-        # "www." is 4 bytes → falls in the exact-match tier only
-        # (reference: substring matching requires phrase length > 4).
-        assert is_hallucination("www.")
+        # "www." is 4 bytes → exact-match tier only (substring matching
+        # requires length > 4), and punct-stripping removes the dot before
+        # comparison, so "www."/".com" are dead entries in the reference
+        # filter. Faithful port: neither input is flagged.
+        assert not is_hallucination("www. ok")
         assert not is_hallucination("visit www.example.org")
         assert is_hallucination("İzlediğiniz için teşekkürler")
         assert is_hallucination("ご視聴ありがとうございました")
