@@ -1,0 +1,170 @@
+"""On-device beam search for one batch of 30 s windows.
+
+Covers the reference's beam strategy selection (whisper.cpp
+WHISPER_SAMPLING_BEAM_SEARCH when beam_size > 1,
+/root/reference/src/stt_engine.cpp:210-212,234-238). The whole search —
+expansion, candidate scoring, beam reordering, KV-cache gather — runs in a
+single jitted ``lax.while_loop``; beams ride the batch dimension
+([B*K] flattened) so every decoder step is one MXU-shaped call.
+
+Semantics follow openai-whisper's BeamSearchDecoder: candidates scored by
+cumulative logprob; a beam that emits EOT is frozen (it competes as a
+single EOT-continuation candidate with unchanged score, a standard
+alive+finished-in-beam formulation); search stops when every beam of every
+batch item is finished or max_len is reached; the winner per item
+maximizes avg logprob over sampled tokens (MaximumLikelihoodRanker with
+length_penalty=None).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import NEG_INF, DecodeResult, TokenIds, apply_timestamp_rules
+from .whisper import WhisperConfig, decoder_apply, init_kv_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "ids", "sample_begin", "sot_index", "beam_size", "max_len",
+        "use_timestamps",
+    ),
+)
+def decode_window_beam(
+    cfg: WhisperConfig,
+    params,
+    xa_kv: dict,  # [L, B, H, 1500, hd]
+    tokens_init: jnp.ndarray,  # [B, ctx] int32
+    sample_begin: int,
+    sot_index: int,
+    ids: TokenIds,
+    suppress_mask: jnp.ndarray,  # [V]
+    beam_size: int = 5,
+    max_len: Optional[int] = None,
+    use_timestamps: bool = True,
+) -> DecodeResult:
+    """Beam-search decode; returns the best hypothesis per batch item with
+    the same DecodeResult contract as greedy ``decode_window``."""
+    B, ctx = tokens_init.shape
+    K = beam_size
+    BK = B * K
+    max_len = max_len or ctx
+    cache_len = min(ctx, -(-max_len // 64) * 64)
+
+    def tile_beams(x, axis):
+        """[.., B, ..] → [.., B*K, ..] repeating each batch item K times."""
+        return jnp.repeat(x, K, axis=axis)
+
+    xa_kv_bk = {k: tile_beams(v, 1) for k, v in xa_kv.items()}
+    tokens = tile_beams(tokens_init, 0)  # [BK, ctx]
+    kv = init_kv_cache(cfg, BK, cache_len)
+
+    prefill_logits, kv, _ = decoder_apply(
+        cfg, params, tokens[:, :sample_begin], jnp.int32(0), kv, xa_kv_bk
+    )
+    probs_at_sot = jax.nn.softmax(prefill_logits[:, sot_index], axis=-1)
+    no_speech_probs = probs_at_sot[::K, ids.no_speech]  # [B]
+
+    V = cfg.n_vocab
+
+    def process_logits(logits, tokens, pos):
+        logits = logits + suppress_mask[None, :]
+        at_start = pos == sample_begin
+        start_mask = jnp.zeros((V,)).at[ids.blank].set(NEG_INF).at[ids.eot].set(NEG_INF)
+        logits = jnp.where(at_start, logits + start_mask[None, :], logits)
+        if use_timestamps:
+            logits = apply_timestamp_rules(logits, tokens, pos, sample_begin, ids)
+        return logits
+
+    def step_fn(state):
+        tokens, kv, pos, done, sum_lp, tok_lps, last_logits = state
+        # done: [BK] — beam finished (emitted EOT earlier).
+        logits = process_logits(last_logits, tokens, pos)  # [BK, V]
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+        # Top-K continuations per beam.
+        top_lp, top_tok = jax.lax.top_k(logprobs, K)  # [BK, K]
+        # Finished beams: single EOT candidate with score unchanged.
+        top_lp = jnp.where(done[:, None], NEG_INF, top_lp)
+        top_lp = top_lp.at[:, 0].set(jnp.where(done, 0.0, top_lp[:, 0]))
+        top_tok = jnp.where(done[:, None], ids.eot, top_tok)
+
+        cand_scores = (sum_lp[:, None] + top_lp).reshape(B, K * K)
+        # At the very first step all beams are identical — keep only beam 0's
+        # candidates to avoid K duplicate hypotheses.
+        first = pos == sample_begin
+        beam_idx = jnp.arange(K * K) // K
+        cand_scores = jnp.where(
+            first & (beam_idx[None, :] > 0), NEG_INF, cand_scores
+        )
+
+        best_scores, best_idx = jax.lax.top_k(cand_scores, K)  # [B, K]
+        parent = best_idx // K  # source beam within the batch item
+        tok_sel = jnp.take_along_axis(
+            top_tok.reshape(B, K * K), best_idx, axis=1
+        )  # [B, K]
+        lp_sel = jnp.take_along_axis(top_lp.reshape(B, K * K), best_idx, axis=1)
+
+        # Gather beam state by parent index (flattened indices).
+        gather_idx = (jnp.arange(B)[:, None] * K + parent).reshape(BK)
+        tokens = tokens[gather_idx]
+        tok_lps = tok_lps[gather_idx]
+        done = done[gather_idx]
+        sum_lp = best_scores.reshape(BK)
+        kv = {k: v[:, gather_idx] for k, v in kv.items()}
+
+        next_tok = tok_sel.reshape(BK).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, next_tok[:, None], pos, axis=1
+        )
+        tok_lps = jax.lax.dynamic_update_slice_in_dim(
+            tok_lps, jnp.where(done, 0.0, lp_sel.reshape(BK))[:, None], pos, axis=1
+        )
+        done = done | (next_tok == ids.eot)
+
+        step_logits, kv, _ = decoder_apply(
+            cfg, params, jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1),
+            pos, kv, xa_kv_bk,
+        )
+        return tokens, kv, pos + 1, done, sum_lp, tok_lps, step_logits[:, 0]
+
+    def cond_fn(state):
+        pos, done = state[2], state[3]
+        return (pos < max_len) & ~jnp.all(done)
+
+    state = (
+        tokens,
+        kv,
+        jnp.int32(sample_begin),
+        jnp.zeros((BK,), bool),
+        jnp.zeros((BK,), jnp.float32),
+        jnp.zeros((BK, ctx), jnp.float32),
+        prefill_logits[:, -1],
+    )
+    tokens, kv, pos, done, sum_lp, tok_lps, _ = jax.lax.while_loop(
+        cond_fn, step_fn, state
+    )
+
+    # Per-beam lengths and avg logprobs; pick the best beam per batch item.
+    positions = jnp.arange(ctx)[None, :]
+    is_eot = (tokens == ids.eot) & (positions >= sample_begin) & (positions < pos)
+    first_eot = jnp.min(jnp.where(is_eot, positions, ctx), axis=1)
+    lengths = jnp.minimum(first_eot + 1, pos)  # [BK]
+    n_sampled = jnp.maximum(lengths - sample_begin, 1).astype(jnp.float32)
+    avg_lp = sum_lp / n_sampled
+
+    best_beam = jnp.argmax(avg_lp.reshape(B, K), axis=1)  # [B]
+    sel = jnp.arange(B) * K + best_beam
+    return DecodeResult(
+        tokens=tokens[sel],
+        lengths=lengths[sel],
+        sum_logprobs=sum_lp[sel],
+        avg_logprobs=avg_lp[sel],
+        no_speech_probs=no_speech_probs,
+        token_logprobs=tok_lps[sel],
+    )

@@ -171,6 +171,60 @@ class DecodeResult(NamedTuple):
     sum_logprobs: jnp.ndarray  # [B] fp32: over sampled tokens (incl. EOT)
     avg_logprobs: jnp.ndarray  # [B]
     no_speech_probs: jnp.ndarray  # [B]
+    token_logprobs: jnp.ndarray  # [B, ctx] fp32: logprob of each sampled token
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sot", "lang_begin", "n_langs"))
+def detect_language(
+    cfg: WhisperConfig,
+    params,
+    xa_kv: dict,
+    sot: int,
+    lang_begin: int,
+    n_langs: int,
+) -> jnp.ndarray:
+    """One decoder step from [sot], masked to language tokens.
+
+    Returns [B, n_langs] probabilities (whisper's detect_language;
+    SURVEY.md §2.3 'language auto-detect')."""
+    B = xa_kv["k"].shape[1]
+    kv = init_kv_cache(cfg, B, 64)
+    tokens = jnp.full((B, 1), sot, jnp.int32)
+    logits, _, _ = decoder_apply(cfg, params, tokens, jnp.int32(0), kv, xa_kv)
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits[:, 0], lang_begin, n_langs, axis=-1
+    )
+    return jax.nn.softmax(lang_logits, axis=-1)
+
+
+def decode_window_best_of(
+    cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
+    suppress_mask, temperature, rng, best_of: int = 5, max_len=None,
+    use_timestamps: bool = True,
+) -> "DecodeResult":
+    """best_of independent samples per item (temperature > 0), winner by avg
+    logprob — openai-whisper's n_group sampling, batched as [B*G]."""
+    import numpy as _np
+
+    B, ctx = tokens_init.shape
+    G = best_of
+    tiled = jnp.repeat(tokens_init, G, axis=0)
+    xa_kv_g = {k: jnp.repeat(v, G, axis=1) for k, v in xa_kv.items()}
+    res = decode_window(
+        cfg, params, xa_kv_g, tiled, sample_begin, sot_index, ids,
+        suppress_mask, temperature, rng, max_len=max_len,
+        use_timestamps=use_timestamps,
+    )
+    best = jnp.argmax(res.avg_logprobs.reshape(B, G), axis=1)
+    sel = jnp.arange(B) * G + best
+    return DecodeResult(
+        tokens=res.tokens[sel],
+        lengths=res.lengths[sel],
+        sum_logprobs=res.sum_logprobs[sel],
+        avg_logprobs=res.avg_logprobs[sel],
+        no_speech_probs=res.no_speech_probs[sel],
+        token_logprobs=res.token_logprobs[sel],
+    )
 
 
 @functools.partial(
@@ -227,16 +281,20 @@ def decode_window(
 
     # --- first sampled token from the prefill's last logits ---
     def step_fn(state):
-        tokens, kv, pos, done, sum_lp, key, last_logits = state
+        tokens, kv, pos, done, sum_lp, tok_lps, key, last_logits = state
         logits = process_logits(last_logits, tokens, pos)
         key, sub = jax.random.split(key)
         next_tok = sample(logits, sub)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=-1)[:, 0]
         next_tok = jnp.where(done, ids.eot, next_tok)
-        sum_lp = sum_lp + jnp.where(done, 0.0, tok_lp)
+        tok_lp = jnp.where(done, 0.0, tok_lp)
+        sum_lp = sum_lp + tok_lp
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, next_tok[:, None], pos, axis=1
+        )
+        tok_lps = jax.lax.dynamic_update_slice_in_dim(
+            tok_lps, tok_lp[:, None], pos, axis=1
         )
         new_done = done | (next_tok == ids.eot)
         # run the decoder for the token just written to get next logits
@@ -244,10 +302,10 @@ def decode_window(
             cfg, params, jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1),
             pos, kv, xa_kv,
         )
-        return tokens, kv, pos + 1, new_done, sum_lp, key, step_logits[:, 0]
+        return tokens, kv, pos + 1, new_done, sum_lp, tok_lps, key, step_logits[:, 0]
 
     def cond_fn(state):
-        _, _, pos, done, _, _, _ = state
+        pos, done = state[2], state[3]
         return (pos < max_len) & ~jnp.all(done)
 
     state = (
@@ -256,10 +314,13 @@ def decode_window(
         jnp.int32(sample_begin),
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B, ctx), jnp.float32),
         rng,
         prefill_logits[:, -1],
     )
-    tokens, kv, pos, done, sum_lp, _, _ = jax.lax.while_loop(cond_fn, step_fn, state)
+    tokens, kv, pos, done, sum_lp, tok_lps, _, _ = jax.lax.while_loop(
+        cond_fn, step_fn, state
+    )
 
     # lengths: index of first EOT at/after sample_begin, else pos.
     positions = jnp.arange(ctx)[None, :]
@@ -274,4 +335,5 @@ def decode_window(
         sum_logprobs=sum_lp,
         avg_logprobs=avg_lp,
         no_speech_probs=no_speech_probs,
+        token_logprobs=tok_lps,
     )

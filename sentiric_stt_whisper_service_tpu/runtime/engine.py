@@ -1,0 +1,534 @@
+"""SttEngine: the transcription orchestrator (reference L2 layer).
+
+TPU-native counterpart of /root/reference/src/stt_engine.{h,cpp} plus the
+long-form decode loop that the reference gets from whisper.cpp's
+``whisper_full`` (SURVEY.md §2.3). Pipeline per request
+(stt_engine.cpp:127-346 semantics):
+
+  abort pre-check → resample to 16 kHz → min-duration gate → VAD gate →
+  admission (bounded wait, EngineBusyException on timeout) → long-form
+  windowed decode with prompt carry-over and the temperature-fallback
+  ladder → per-segment post-processing (hallucination filter, 0.40
+  avg-token-prob gate, centisecond timestamps, prosody on the segment
+  slice, per-request speaker clustering).
+
+Quality-gate semantics (whisper.cpp parity, SURVEY.md §2.3):
+  * retry at next temperature when zlib compression ratio > 2.4
+    (the reference surfaces this as ``entropy_thold=2.40``,
+    stt_engine.cpp:241) or avg logprob < logprob_threshold (−0.7);
+  * window treated as silence when no_speech_prob > 0.85 AND avg logprob
+    < logprob_threshold;
+  * ladder: start temperature, then +0.2 steps up to 1.0; beam search only
+    at t=0, best_of sampling above.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+import zlib
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import resample
+from ..config import Settings
+from ..diarize import SpeakerClusterer
+from ..models import (
+    TokenIds,
+    WhisperConfig,
+    build_suppress_mask,
+    config_for,
+    decode_window,
+    encode_xa_kv,
+    init_params,
+)
+from ..models.beam import decode_window_beam
+from ..models.sampling import decode_window_best_of, detect_language
+from ..ops import N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+from ..prosody.extractor import AffectiveTags, ProsodyOptions, extract_prosody
+from ..text import clean_utf8, is_hallucination
+from ..tokenizer import LANGUAGES, WhisperTokenizer, fallback_tokenizer
+from .vad import is_speech_detected
+
+COMPRESSION_RATIO_THRESHOLD = 2.4  # entropy_thold in the reference (:241)
+MIN_SEGMENT_AVG_PROB = 0.40  # segment drop gate (stt_engine.cpp:263-264)
+SAMPLE_LEN = 224  # max sampled tokens per window (whisper: n_text_ctx // 2)
+
+
+class EngineBusyException(RuntimeError):
+    """All decode slots busy past the queue timeout (stt_engine.h:54-57)."""
+
+
+@dataclasses.dataclass
+class TokenData:
+    text: str
+    p: float
+    t0: int  # centiseconds
+    t1: int
+
+
+@dataclasses.dataclass
+class RequestOptions:
+    """Per-request overrides; -1 = use server default (stt_engine.h:23-34)."""
+
+    language: str = ""
+    prompt: str = ""
+    translate: bool = False
+    enable_diarization: bool = False
+    temperature: float = -1.0
+    beam_size: int = -1
+    best_of: int = -1
+    prosody_opts: ProsodyOptions = dataclasses.field(default_factory=ProsodyOptions)
+    should_abort: Optional[Callable[[], bool]] = None
+
+
+@dataclasses.dataclass
+class TranscriptionResult:
+    """One segment (stt_engine.h:36-51)."""
+
+    text: str = ""
+    language: str = ""
+    prob: float = 0.0
+    t0: int = 0  # centiseconds
+    t1: int = 0
+    speaker_turn_next: bool = False
+    tokens: list[TokenData] = dataclasses.field(default_factory=list)
+    token_count: int = 0
+    gender_proxy: str = "?"
+    emotion_proxy: str = "neutral"
+    arousal: float = 0.0
+    valence: float = 0.0
+    affective: AffectiveTags = dataclasses.field(default_factory=AffectiveTags)
+    speaker_id: str = ""
+
+
+@dataclasses.dataclass
+class PerformanceMetrics:
+    queue_time_ms: float = 0.0
+    processing_time_ms: float = 0.0
+    token_count: int = 0
+
+
+class SttEngine:
+    """Whisper inference engine over one jitted model instance.
+
+    Concurrency: admission is a bounded semaphore of ``parallel_requests``
+    slots with a ``request_queue_timeout_ms`` wait (the reference's
+    state-pool condvar, stt_engine.cpp:63-85). Decode state (KV slabs) is
+    allocated per call — slots only bound concurrent HBM footprint.
+    """
+
+    def __init__(
+        self,
+        settings: Settings,
+        model_name: Optional[str] = None,
+        params=None,
+        tokenizer: Optional[WhisperTokenizer] = None,
+        random_init: bool = False,
+    ):
+        self.settings = settings
+        name = model_name or settings.model_filename.replace("ggml-", "").replace(
+            ".bin", ""
+        )
+        self.model_name = name
+        self.cfg: WhisperConfig = config_for(name)
+        if params is None:
+            if random_init:
+                params = init_params(self.cfg, jax.random.key(0))
+            else:
+                from ..checkpoint import load_checkpoint
+
+                params, tokenizer = load_checkpoint(settings, self.cfg)
+        self.params = params
+        self.tokenizer = tokenizer or fallback_tokenizer(self.cfg.n_vocab)
+        self.ids = TokenIds.from_tokenizer(self.tokenizer)
+        self.suppress_mask = jnp.asarray(
+            build_suppress_mask(
+                self.cfg.n_vocab,
+                self.ids,
+                self.tokenizer.non_speech_tokens,
+                suppress_nst=settings.suppress_nst,
+            )
+        )
+        self._slots = threading.Semaphore(max(1, settings.parallel_requests))
+        self._ready = True
+        self._rng = jax.random.key(int(time.time()) & 0x7FFFFFFF)
+        self._rng_lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    def is_ready(self) -> bool:
+        return self._ready
+
+    def get_settings(self) -> Settings:
+        return self.settings
+
+    def _next_rng(self):
+        with self._rng_lock:
+            self._rng, sub = jax.random.split(self._rng)
+            return sub
+
+    # ------------------------------------------------------------------
+    def transcribe_pcm16(
+        self,
+        pcm16: np.ndarray,
+        input_sample_rate: int,
+        options: RequestOptions,
+        metrics: Optional[PerformanceMetrics] = None,
+    ) -> list[TranscriptionResult]:
+        pcm = np.asarray(pcm16, np.int16).astype(np.float32) / 32768.0
+        return self.transcribe(pcm, input_sample_rate, options, metrics)
+
+    def transcribe(
+        self,
+        pcmf32: np.ndarray,
+        input_sample_rate: int,
+        options: RequestOptions,
+        metrics: Optional[PerformanceMetrics] = None,
+    ) -> list[TranscriptionResult]:
+        t_start = time.perf_counter()
+        metrics = metrics if metrics is not None else PerformanceMetrics()
+        s = self.settings
+
+        if options.should_abort and options.should_abort():
+            return []
+
+        audio = np.asarray(pcmf32, np.float32).reshape(-1)
+        if input_sample_rate != SAMPLE_RATE:
+            audio = np.asarray(resample(audio, input_sample_rate, SAMPLE_RATE))
+
+        # Min-duration gate (stt_engine.cpp:153-167).
+        min_samples = int(s.vad_ms_min_duration * SAMPLE_RATE / 1000)
+        if audio.shape[0] < min_samples:
+            return []
+
+        # VAD gate: silence → single empty-text result with NEUTRAL
+        # affective payload, language "unknown", speaker "unknown", t1 in
+        # ms (reference quirks preserved; stt_engine.cpp:169-194).
+        # (min speech 250 ms inside the VAD = whisper.cpp's default
+        # min_speech_duration; the 500 ms setting gates clip length above.)
+        if s.enable_vad and not is_speech_detected(
+            audio, SAMPLE_RATE, s.vad_threshold, 250
+        ):
+            tags = AffectiveTags()  # extract_prosody(nullptr) ≡ neutral
+            res = TranscriptionResult(
+                text="", language="unknown", prob=0.0,
+                t0=0, t1=int(audio.shape[0] / 16.0),
+                affective=tags, gender_proxy=tags.gender_proxy,
+                emotion_proxy=tags.emotion_proxy, speaker_id="unknown",
+            )
+            metrics.processing_time_ms = (time.perf_counter() - t_start) * 1e3
+            return [res]
+
+        # Admission (state-pool semantics, stt_engine.cpp:63-79).
+        t_q = time.perf_counter()
+        if not self._slots.acquire(timeout=s.request_queue_timeout_ms / 1000.0):
+            raise EngineBusyException(
+                "Engine busy: no free decode slot within timeout"
+            )
+        metrics.queue_time_ms = (time.perf_counter() - t_q) * 1e3
+        try:
+            results = self._transcribe_longform(audio, options, metrics)
+        finally:
+            self._slots.release()
+        metrics.processing_time_ms = (time.perf_counter() - t_start) * 1e3
+        metrics.token_count = sum(r.token_count for r in results)
+        return results
+
+    # ------------------------------------------------------------------
+    def _decode_options(self, options: RequestOptions):
+        s = self.settings
+        temperature = (
+            options.temperature if options.temperature >= 0.0 else s.temperature
+        )
+        beam_size = options.beam_size if options.beam_size > 0 else s.beam_size
+        best_of = options.best_of if options.best_of > 0 else s.best_of
+        return temperature, beam_size, best_of
+
+    def _resolve_language(self, audio: np.ndarray, options: RequestOptions) -> str:
+        lang = (options.language or self.settings.language or "auto").lower()
+        if lang and lang != "auto":
+            return lang
+        if not self.cfg.is_multilingual:
+            return "en"
+        # Language detect on the first window (SURVEY.md §2.3).
+        window = np.zeros(N_SAMPLES, np.float32)
+        n = min(audio.shape[0], N_SAMPLES)
+        window[:n] = audio[:n]
+        mel = log_mel_spectrogram(window[None], n_mels=self.cfg.n_mels, dtype=self.cfg.dtype)
+        xa_kv = encode_xa_kv(self.cfg, self.params, mel)
+        sp = self.tokenizer.special
+        probs = detect_language(
+            self.cfg, self.params, xa_kv, sp.sot, sp.language_begin, sp.num_languages
+        )
+        return LANGUAGES[int(np.argmax(np.asarray(probs)[0]))]
+
+    def _decode_one(
+        self,
+        xa_kv,
+        init_tokens: list[int],
+        sample_begin: int,
+        sot_index: int,
+        temperature: float,
+        beam_size: int,
+        best_of: int,
+    ):
+        """One decode attempt at one temperature for a single window."""
+        ctx = self.cfg.n_text_ctx
+        tinit = np.full((1, ctx), self.ids.eot, np.int32)
+        tinit[0, : len(init_tokens)] = init_tokens
+        tinit = jnp.asarray(tinit)
+        max_len = min(ctx, sample_begin + SAMPLE_LEN)
+        if temperature <= 0.0 and beam_size > 1:
+            return decode_window_beam(
+                self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
+                self.ids, self.suppress_mask, beam_size=beam_size, max_len=max_len,
+            )
+        if temperature > 0.0 and best_of > 1:
+            return decode_window_best_of(
+                self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
+                self.ids, self.suppress_mask, jnp.float32(temperature),
+                self._next_rng(), best_of=best_of, max_len=max_len,
+            )
+        return decode_window(
+            self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
+            self.ids, self.suppress_mask, jnp.float32(temperature),
+            self._next_rng(), max_len=max_len,
+        )
+
+    def _transcribe_longform(
+        self,
+        audio: np.ndarray,
+        options: RequestOptions,
+        metrics: PerformanceMetrics,
+    ) -> list[TranscriptionResult]:
+        s = self.settings
+        cfg = self.cfg
+        tok = self.tokenizer
+        sp = tok.special
+        ids = self.ids
+        temperature0, beam_size, best_of = self._decode_options(options)
+
+        language = self._resolve_language(audio, options)
+        task = "translate" if (options.translate or s.translate) else "transcribe"
+
+        clusterer = SpeakerClusterer(s.cluster_threshold)
+        diarize = options.enable_diarization or s.enable_diarization
+
+        prompt_text_tokens: list[int] = (
+            tok.encode(" " + options.prompt.strip()) if options.prompt.strip() else []
+        )
+        carried_tokens: list[int] = []
+
+        results: list[TranscriptionResult] = []
+        n = audio.shape[0]
+        seek = 0  # in samples
+        while seek < n:
+            if options.should_abort and options.should_abort():
+                break
+            window = np.zeros(N_SAMPLES, np.float32)
+            remain = min(n - seek, N_SAMPLES)
+            window[:remain] = audio[seek : seek + remain]
+            window_dur_cs = int(round(remain / SAMPLE_RATE * 100))  # centisec
+
+            mel = log_mel_spectrogram(
+                window[None], n_mels=cfg.n_mels, dtype=cfg.dtype
+            )
+            xa_kv = encode_xa_kv(cfg, self.params, mel)
+
+            # Decoder preamble: [sot_prev + carried/prompt] [sot lang task].
+            prefix = prompt_text_tokens + carried_tokens
+            prefix = prefix[-(cfg.n_text_ctx // 2 - 1) :]
+            init_tokens: list[int] = []
+            if prefix:
+                init_tokens = [sp.sot_prev] + prefix
+            sot_index = len(init_tokens)
+            init_tokens += tok.sot_sequence(language, task)
+            sample_begin = len(init_tokens)
+
+            # Temperature-fallback ladder.
+            temps = [temperature0 + 0.2 * i for i in range(6)]
+            temps = [t for t in temps if t <= 1.0 + 1e-6] or [temperature0]
+            chosen = None
+            used_temp = temps[0]
+            for t in temps:
+                used_temp = t
+                res = self._decode_one(
+                    xa_kv, init_tokens, sample_begin, sot_index,
+                    t, beam_size, best_of,
+                )
+                seq = np.asarray(res.tokens[0])[
+                    sample_begin : int(res.lengths[0])
+                ]
+                text_tokens = [int(x) for x in seq if x < ids.eot]
+                text = tok.decode(text_tokens)
+                avg_lp = float(res.avg_logprobs[0])
+                cr = _compression_ratio(text)
+                needs_fallback = (
+                    cr > COMPRESSION_RATIO_THRESHOLD
+                    or avg_lp < s.logprob_threshold
+                )
+                no_speech = (
+                    float(res.no_speech_probs[0]) > s.no_speech_threshold
+                    and avg_lp < s.logprob_threshold
+                )
+                if no_speech:
+                    chosen = None  # silence: skip window, no retry
+                    break
+                if not needs_fallback:
+                    chosen = res
+                    break
+                chosen = res  # keep last attempt if all fail
+            if chosen is None:
+                seek += remain
+                carried_tokens = []
+                continue
+
+            seq = np.asarray(chosen.tokens[0])[
+                sample_begin : int(chosen.lengths[0])
+            ]
+            tok_lps = np.asarray(chosen.token_logprobs[0])[
+                sample_begin : int(chosen.lengths[0])
+            ]
+
+            segments, advance_cs = _parse_segments(seq, tok_lps, ids, window_dur_cs)
+            base_cs = int(round(seek / SAMPLE_RATE * 100))
+
+            for seg in segments:
+                raw_text = tok.decode(seg["tokens"])
+                text = clean_utf8(raw_text).strip()
+                if is_hallucination(text):
+                    continue
+                probs = [float(np.exp(lp)) for lp in seg["logprobs"]]
+                avg_p = float(np.mean(probs)) if probs else 0.0
+                if avg_p < MIN_SEGMENT_AVG_PROB:
+                    continue  # quality gate (stt_engine.cpp:305-311)
+
+                t0_cs = base_cs + seg["t0"]
+                t1_cs = base_cs + seg["t1"]
+                # Segment slice for prosody (stt_engine.cpp:313-334).
+                s0 = min(max(0, int(t0_cs / 100.0 * SAMPLE_RATE)), n)
+                s1 = min(max(s0, int(t1_cs / 100.0 * SAMPLE_RATE)), n)
+                if s1 - s0 >= 160:
+                    tags = extract_prosody(
+                        audio[s0:s1], SAMPLE_RATE, options.prosody_opts
+                    )
+                else:
+                    tags = AffectiveTags()
+
+                speaker_id = ""
+                if diarize:
+                    speaker_id = clusterer.assign_or_add(tags.speaker_vec)
+
+                token_datas = []
+                for t_id, lp in zip(seg["tokens"], seg["logprobs"]):
+                    token_datas.append(
+                        TokenData(
+                            text=clean_utf8(tok.token_piece(t_id)),
+                            p=float(np.exp(lp)),
+                            t0=t0_cs,
+                            t1=t1_cs,
+                        )
+                    )
+                results.append(
+                    TranscriptionResult(
+                        text=text,
+                        language=language,
+                        prob=avg_p,
+                        t0=t0_cs,
+                        t1=t1_cs,
+                        tokens=token_datas,
+                        token_count=len(token_datas),
+                        gender_proxy=tags.gender_proxy,
+                        emotion_proxy=tags.emotion_proxy,
+                        arousal=tags.arousal,
+                        valence=tags.valence,
+                        affective=tags,
+                        speaker_id=speaker_id,
+                    )
+                )
+
+            # Prompt carry-over: condition on previous text unless the
+            # ladder got hot (openai: prompt resets when the temperature
+            # actually used exceeds 0.5).
+            all_text_tokens = [int(x) for x in seq if x < ids.eot]
+            if all_text_tokens and used_temp <= 0.5:
+                carried_tokens = (carried_tokens + all_text_tokens)[
+                    -(cfg.n_text_ctx // 2 - 1) :
+                ]
+            else:
+                carried_tokens = []
+
+            seek += max(1, int(round(advance_cs / 100.0 * SAMPLE_RATE)))
+
+        # speaker_turn_next: a speaker change between consecutive segments.
+        if diarize:
+            for a, b in zip(results, results[1:]):
+                if a.speaker_id and b.speaker_id and a.speaker_id != b.speaker_id:
+                    a.speaker_turn_next = True
+        return results
+
+
+def _compression_ratio(text: str) -> float:
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def _parse_segments(seq, tok_lps, ids: TokenIds, window_dur_cs: int):
+    """Split a sampled token sequence into timestamped segments.
+
+    Returns (segments, advance_cs): each segment is {"tokens", "logprobs",
+    "t0", "t1"} with times in centiseconds relative to the window; advance
+    is how far to move the audio cursor (whisper long-form semantics: to
+    the last complete timestamp if the window ended with one, else the
+    whole window)."""
+    ts_begin = ids.timestamp_begin
+    segments = []
+    cur_tokens: list[int] = []
+    cur_lps: list[float] = []
+    t0 = 0
+    open_seg = False
+    last_ts = 0  # centisec of last timestamp token seen
+    for t_id, lp in zip(map(int, seq), tok_lps):
+        if t_id == ids.eot:
+            break
+        if t_id >= ts_begin:
+            cs = (t_id - ts_begin) * 2  # 0.02 s per step
+            last_ts = cs
+            if open_seg:
+                if cur_tokens:
+                    segments.append(
+                        {
+                            "tokens": cur_tokens,
+                            "logprobs": cur_lps,
+                            "t0": t0,
+                            "t1": cs,
+                        }
+                    )
+                cur_tokens, cur_lps = [], []
+                open_seg = False
+            else:
+                t0 = cs
+                open_seg = True
+        else:
+            cur_tokens.append(t_id)
+            cur_lps.append(float(lp))
+    if cur_tokens:
+        # Unterminated trailing segment: close at window end.
+        segments.append(
+            {
+                "tokens": cur_tokens,
+                "logprobs": cur_lps,
+                "t0": t0,
+                "t1": window_dur_cs,
+            }
+        )
+        advance = window_dur_cs
+    else:
+        advance = last_ts if last_ts > 0 else window_dur_cs
+    return segments, max(advance, 1)

@@ -1,0 +1,109 @@
+"""End-to-end engine tests on the mini model (CPU)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sentiric_stt_whisper_service_tpu.config import Settings
+from sentiric_stt_whisper_service_tpu.runtime import (
+    EngineBusyException,
+    PerformanceMetrics,
+    RequestOptions,
+    SttEngine,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    s = Settings(enable_vad=False, beam_size=1, parallel_requests=2)
+    return SttEngine(s, model_name="test", random_init=True)
+
+
+def make_speechlike(duration_s=2.0, sr=16000):
+    """Modulated tone bursts — passes VAD-ish energy shapes."""
+    rng = np.random.default_rng(7)
+    t = np.arange(int(duration_s * sr)) / sr
+    carrier = np.sin(2 * np.pi * 150 * t) + 0.3 * np.sin(2 * np.pi * 450 * t)
+    envelope = 0.5 * (1 + np.sin(2 * np.pi * 3 * t - np.pi / 2))
+    return (0.2 * carrier * envelope + 0.005 * rng.standard_normal(len(t))).astype(
+        np.float32
+    )
+
+
+def test_transcribe_runs_and_reports_metrics(engine):
+    m = PerformanceMetrics()
+    res = engine.transcribe(make_speechlike(2.0), 16000, RequestOptions(language="en"), m)
+    assert isinstance(res, list)
+    assert m.processing_time_ms > 0
+    # With random weights segments may or may not survive the quality
+    # gates; everything that does must be well-formed.
+    for r in res:
+        assert r.language == "en"
+        assert r.t1 >= r.t0 >= 0
+        assert r.token_count == len(r.tokens)
+        assert 0.0 <= r.prob <= 1.0
+
+
+def test_min_duration_gate(engine):
+    res = engine.transcribe(np.zeros(1000, np.float32), 16000, RequestOptions())
+    assert res == []
+
+
+def test_resampled_input(engine):
+    audio = make_speechlike(1.0, sr=8000)
+    res = engine.transcribe(audio, 8000, RequestOptions(language="en"))
+    assert isinstance(res, list)
+
+
+def test_abort_pre_check(engine):
+    res = engine.transcribe(
+        make_speechlike(1.0), 16000, RequestOptions(should_abort=lambda: True)
+    )
+    assert res == []
+
+
+def test_vad_silence_path():
+    s = Settings(enable_vad=True, beam_size=1)
+    eng = SttEngine(s, model_name="test", random_init=True)
+    res = eng.transcribe(
+        np.zeros(16000, np.float32) + 1e-5, 16000, RequestOptions(language="en")
+    )
+    assert len(res) == 1
+    assert res[0].text == ""
+    assert res[0].gender_proxy in ("?", "M", "F")
+
+
+def test_engine_busy():
+    s = Settings(
+        enable_vad=False, parallel_requests=1, request_queue_timeout_ms=50,
+        beam_size=1,
+    )
+    eng = SttEngine(s, model_name="test", random_init=True)
+    # Hold the only slot and expect a timeout.
+    assert eng._slots.acquire()
+    try:
+        with pytest.raises(EngineBusyException):
+            eng.transcribe(make_speechlike(1.0), 16000, RequestOptions(language="en"))
+    finally:
+        eng._slots.release()
+
+
+def test_diarization_assigns_speakers(engine):
+    res = engine.transcribe(
+        make_speechlike(2.0), 16000,
+        RequestOptions(language="en", enable_diarization=True),
+    )
+    for r in res:
+        assert r.speaker_id.startswith("spk_")
+
+
+def test_longform_multiple_windows():
+    # >30 s audio must produce monotonically advancing segments.
+    s = Settings(enable_vad=False, beam_size=1)
+    eng = SttEngine(s, model_name="test", random_init=True)
+    audio = np.tile(make_speechlike(2.0), 17)  # 34 s
+    res = eng.transcribe(audio, 16000, RequestOptions(language="en"))
+    times = [(r.t0, r.t1) for r in res]
+    assert all(t1 >= t0 for t0, t1 in times)
+    assert all(b[0] >= a[0] for a, b in zip(times, times[1:]))
