@@ -28,11 +28,11 @@ def main():
         encode_xa_kv,
         init_params,
     )
-    from sentiric_stt_whisper_service_tpu.ops import N_SAMPLES, log_mel_spectrogram
+    from sentiric_stt_whisper_service_tpu.ops import N_SAMPLES, compute_log_mel
     from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
 
     model_name = "large-v3"
-    B = 8
+    B = int(__import__("os").environ.get("BENCH_BATCH", "8"))
     DECODE_TOKENS = 128
 
     cfg = config_for(model_name)
@@ -50,7 +50,7 @@ def main():
     audio = (rng.standard_normal((B, N_SAMPLES)) * 0.05).astype(np.float32)
 
     def pipeline(audio_batch):
-        mel = log_mel_spectrogram(audio_batch, n_mels=cfg.n_mels, dtype=cfg.dtype)
+        mel = compute_log_mel(audio_batch, n_mels=cfg.n_mels, dtype=cfg.dtype)
         xa_kv = encode_xa_kv(cfg, params, mel)
         return decode_window(
             cfg, params, xa_kv, tinit, len(sot), 0, ids, sup,

@@ -60,7 +60,21 @@ def decode_with_ffmpeg(data: bytes, sample_rate: int = 16000) -> np.ndarray:
 
 
 def parse_wav_robust(data: bytes) -> DecodedAudio:
-    """Decode bytes to mono int16 PCM with the reference's fallback chain."""
+    """Decode bytes to mono int16 PCM with the reference's fallback chain.
+
+    The common case (valid PCM16 WAV) takes the native C++ fast path when
+    the library is built (native/sstw_native.cpp); the Python parser below
+    is the reference implementation and fallback."""
+    if has_wav_header(data):
+        try:
+            from ..native import parse_wav_native
+
+            parsed = parse_wav_native(data)
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            pcm, rate, channels = parsed
+            return DecodedAudio(pcm, rate, channels, True)
     if not has_wav_header(data):
         log.info("No WAV header; attempting ffmpeg conversion")
         converted = decode_with_ffmpeg(data)
@@ -115,7 +129,10 @@ def parse_wav_robust(data: bytes) -> DecodedAudio:
     elif channels == 2:
         frames = pcm.size // 2
         st = pcm[: frames * 2].reshape(frames, 2).astype(np.int32)
-        mono = ((st[:, 0] + st[:, 1]) // 2).astype(np.int16)
+        # C++ integer division truncates toward zero (reference
+        # utils.h:189-191) — not numpy's floor division.
+        s = st[:, 0] + st[:, 1]
+        mono = np.trunc(s / 2.0).astype(np.int16)
     else:
         frames = pcm.size // channels
         mono = pcm[: frames * channels].reshape(frames, channels)[:, 0].copy()

@@ -238,16 +238,44 @@ def _split_heads(x, n_head):
     return x.reshape(b, t, n_head, d // n_head)
 
 
+_flash_attn_enabled: Optional[bool] = None
+
+
+def set_flash_attn(enabled: Optional[bool]):
+    """Override flash-attention use (None = auto: on TPU only). Mirrors the
+    reference's flash_attn setting (config.h:64)."""
+    global _flash_attn_enabled
+    _flash_attn_enabled = enabled
+
+
+def _use_flash() -> bool:
+    if _flash_attn_enabled is not None:
+        return _flash_attn_enabled
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def mha(q, k, v, n_head: int, mask: Optional[jnp.ndarray] = None):
     """Multi-head attention. q,k,v: [B, T, d]; mask broadcastable to
-    [B, H, Tq, Tk] (True = attend). fp32 softmax, head-major core."""
+    [B, H, Tq, Tk] (True = attend). fp32 softmax, head-major core.
+
+    Unmasked long-sequence attention (the encoder's 1500-position
+    self-attention) routes through the Pallas flash kernel on TPU."""
     b, t, d = q.shape
     scale = (d // n_head) ** -0.25
 
     def to_heads(x):
         return _split_heads(x, n_head).transpose(0, 2, 1, 3)
 
-    out, _ = _attend(to_heads(q) * scale, to_heads(k) * scale, to_heads(v), mask)
+    qh, kh, vh = to_heads(q) * scale, to_heads(k) * scale, to_heads(v)
+    if mask is None and t >= 512 and _use_flash():
+        from ..ops.flash_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh)
+    else:
+        out, _ = _attend(qh, kh, vh, mask)
     return out.transpose(0, 2, 1, 3).reshape(b, t, d)
 
 

@@ -8,3 +8,16 @@ from .mel import (  # noqa: F401
     mel_filterbank,
     pad_or_trim,
 )
+
+
+def compute_log_mel(audio, n_mels: int = 80, dtype=None):
+    """Log-mel frontend: Pallas-fused kernel on TPU, jnp path elsewhere."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    if jax.default_backend() == "tpu":
+        from .pallas_mel import log_mel_spectrogram_fused
+
+        return log_mel_spectrogram_fused(audio, n_mels=n_mels, dtype=dtype)
+    return log_mel_spectrogram(audio, n_mels=n_mels, dtype=dtype)

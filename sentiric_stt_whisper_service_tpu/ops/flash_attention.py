@@ -1,0 +1,120 @@
+"""Pallas flash self-attention for the Whisper encoder.
+
+The reference's flash_attn toggle enables fused attention inside
+whisper.cpp/CUDA (/root/reference/src/stt_engine.cpp:31, config.h:64). The
+TPU equivalent: a Pallas kernel that keeps the [BLOCK_Q, L] score tile in
+VMEM — the [B, H, 1500, 1500] score tensor never touches HBM. At Whisper's
+encoder shape one head's full K/V is only ~190 KB (1500 × 64 bf16), so the
+kernel streams K/V per (batch·head) program and computes each query block
+in a single fused matmul→softmax→matmul, fp32 accumulation on the MXU.
+
+Interface: head-major [B, H, L, d] (the model's native layout). Falls back
+to a pure-XLA path off-TPU; `interpret=True` under tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, l_valid: int):
+    """One (batch·head, q-block) program: full attention for BLOCK_Q rows."""
+    q = q_ref[0]  # [BLOCK_Q, d]
+    k = k_ref[0]  # [L_pad, d]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BLOCK_Q, L_pad]
+    l_pad = scores.shape[-1]
+    if l_valid < l_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < l_valid, scores, jnp.float32(-1e30))
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    w = (e / s).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        w, v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_attention(
+    q: jnp.ndarray,  # [B, H, L, d], pre-scaled
+    k: jnp.ndarray,  # [B, H, L, d], pre-scaled
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Non-causal fused attention, head-major layout."""
+    B, H, L, d = q.shape
+    l_pad = _round_up(L, BLOCK_Q)
+    if l_pad != L:
+        pad = [(0, 0), (0, 0), (0, l_pad - L), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    bh = B * H
+    qf = q.reshape(bh, l_pad, d)
+    kf = k.reshape(bh, l_pad, d)
+    vf = v.reshape(bh, l_pad, d)
+
+    grid = (bh, l_pad // BLOCK_Q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, l_valid=L),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, BLOCK_Q, d), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, l_pad, d), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, l_pad, d), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, l_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * l_pad * l_pad * d,
+            bytes_accessed=3 * bh * l_pad * d * 2 + bh * l_pad * d * 2,
+            transcendentals=bh * l_pad * l_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, l_pad, d)[:, :, :L]
+
+
+def attention_reference(q, k, v):
+    """XLA fallback with identical numerics (fp32 softmax)."""
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jax.lax.dot_general(
+        w, v,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)

@@ -48,7 +48,7 @@ from ..models import (
 )
 from ..models.beam import decode_window_beam
 from ..models.sampling import decode_window_best_of, detect_language
-from ..ops import N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+from ..ops import N_SAMPLES, SAMPLE_RATE, compute_log_mel
 from ..prosody.extractor import AffectiveTags, ProsodyOptions, extract_prosody
 from ..text import clean_utf8, is_hallucination
 from ..tokenizer import LANGUAGES, WhisperTokenizer, fallback_tokenizer
@@ -258,7 +258,7 @@ class SttEngine:
         window = np.zeros(N_SAMPLES, np.float32)
         n = min(audio.shape[0], N_SAMPLES)
         window[:n] = audio[:n]
-        mel = log_mel_spectrogram(window[None], n_mels=self.cfg.n_mels, dtype=self.cfg.dtype)
+        mel = compute_log_mel(window[None], n_mels=self.cfg.n_mels, dtype=self.cfg.dtype)
         xa_kv = encode_xa_kv(self.cfg, self.params, mel)
         sp = self.tokenizer.special
         probs = detect_language(
@@ -334,7 +334,7 @@ class SttEngine:
             window[:remain] = audio[seek : seek + remain]
             window_dur_cs = int(round(remain / SAMPLE_RATE * 100))  # centisec
 
-            mel = log_mel_spectrogram(
+            mel = compute_log_mel(
                 window[None], n_mels=cfg.n_mels, dtype=cfg.dtype
             )
             xa_kv = encode_xa_kv(cfg, self.params, mel)
@@ -397,6 +397,24 @@ class SttEngine:
             segments, advance_cs = _parse_segments(seq, tok_lps, ids, window_dur_cs)
             base_cs = int(round(seek / SAMPLE_RATE * 100))
 
+            # Token-level timestamps: DTW over cross-attention (the
+            # reference's token_timestamps=true contract). One extra
+            # teacher-forced pass per window; window-relative seconds.
+            token_times = None
+            if segments and not s.no_timestamps:
+                try:
+                    from ..models.timestamps import compute_token_times
+
+                    align_seq = [t for t in map(int, seq) if t != ids.eot]
+                    token_times = compute_token_times(
+                        cfg, self.params, xa_kv,
+                        np.asarray(init_tokens + align_seq, np.int64),
+                        sample_begin,
+                        max(1, remain // 320),
+                    )
+                except Exception:  # noqa: BLE001 — timestamps are best-effort
+                    token_times = None
+
             for seg in segments:
                 raw_text = tok.decode(seg["tokens"])
                 text = clean_utf8(raw_text).strip()
@@ -424,13 +442,20 @@ class SttEngine:
                     speaker_id = clusterer.assign_or_add(tags.speaker_vec)
 
                 token_datas = []
-                for t_id, lp in zip(seg["tokens"], seg["logprobs"]):
+                for t_id, lp, pos in zip(
+                    seg["tokens"], seg["logprobs"], seg["positions"]
+                ):
+                    if token_times is not None and pos < len(token_times):
+                        tt0 = base_cs + int(round(token_times[pos, 0] * 100))
+                        tt1 = base_cs + int(round(token_times[pos, 1] * 100))
+                    else:
+                        tt0, tt1 = t0_cs, t1_cs
                     token_datas.append(
                         TokenData(
                             text=clean_utf8(tok.token_piece(t_id)),
                             p=float(np.exp(lp)),
-                            t0=t0_cs,
-                            t1=t1_cs,
+                            t0=tt0,
+                            t1=tt1,
                         )
                     )
                 results.append(
@@ -491,10 +516,11 @@ def _parse_segments(seq, tok_lps, ids: TokenIds, window_dur_cs: int):
     segments = []
     cur_tokens: list[int] = []
     cur_lps: list[float] = []
+    cur_pos: list[int] = []
     t0 = 0
     open_seg = False
     last_ts = 0  # centisec of last timestamp token seen
-    for t_id, lp in zip(map(int, seq), tok_lps):
+    for pos, (t_id, lp) in enumerate(zip(map(int, seq), tok_lps)):
         if t_id == ids.eot:
             break
         if t_id >= ts_begin:
@@ -506,11 +532,12 @@ def _parse_segments(seq, tok_lps, ids: TokenIds, window_dur_cs: int):
                         {
                             "tokens": cur_tokens,
                             "logprobs": cur_lps,
+                            "positions": cur_pos,
                             "t0": t0,
                             "t1": cs,
                         }
                     )
-                cur_tokens, cur_lps = [], []
+                cur_tokens, cur_lps, cur_pos = [], [], []
                 open_seg = False
             else:
                 t0 = cs
@@ -518,12 +545,14 @@ def _parse_segments(seq, tok_lps, ids: TokenIds, window_dur_cs: int):
         else:
             cur_tokens.append(t_id)
             cur_lps.append(float(lp))
+            cur_pos.append(pos)
     if cur_tokens:
         # Unterminated trailing segment: close at window end.
         segments.append(
             {
                 "tokens": cur_tokens,
                 "logprobs": cur_lps,
+                "positions": cur_pos,
                 "t0": t0,
                 "t1": window_dur_cs,
             }
