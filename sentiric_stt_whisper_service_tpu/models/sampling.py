@@ -102,18 +102,28 @@ def build_suppress_mask(
 def apply_timestamp_rules(
     logits: jnp.ndarray,  # [B, V] fp32
     tokens: jnp.ndarray,  # [B, ctx] int32 (full buffer)
-    pos: jnp.ndarray,  # scalar: index where the next token will be written
-    sample_begin: int,
+    pos: jnp.ndarray,  # scalar or [B]: index where the next token goes
+    sample_begin,  # static int or [B] array (continuous batching)
     ids: TokenIds,
 ) -> jnp.ndarray:
-    """Vectorized port of whisper's ApplyTimestampRules."""
+    """Vectorized port of whisper's ApplyTimestampRules.
+
+    ``pos``/``sample_begin`` may be per-row vectors so the continuous
+    batcher can run slots at heterogeneous decode positions in one call."""
     V = logits.shape[-1]
     vocab_idx = jnp.arange(V)[None, :]
     is_ts_col = vocab_idx >= ids.timestamp_begin
     B = logits.shape[0]
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    sample_begin = jnp.broadcast_to(jnp.asarray(sample_begin, jnp.int32), (B,))
 
-    last = jnp.where(pos > sample_begin, tokens[:, jnp.maximum(pos - 1, 0)], -1)
-    penult = jnp.where(pos > sample_begin + 1, tokens[:, jnp.maximum(pos - 2, 0)], -1)
+    def tok_at(idx):  # [B] gather of tokens[b, idx[b]]
+        return jnp.take_along_axis(
+            tokens, jnp.maximum(idx, 0)[:, None], axis=1
+        )[:, 0]
+
+    last = jnp.where(pos > sample_begin, tok_at(pos - 1), -1)
+    penult = jnp.where(pos > sample_begin + 1, tok_at(pos - 2), -1)
     last_was_ts = last >= ids.timestamp_begin
     # whisper semantics: with fewer than two sampled tokens the penultimate
     # counts as a timestamp (so the token right after the initial timestamp
@@ -131,7 +141,7 @@ def apply_timestamp_rules(
 
     # Monotonic timestamps: new ts must be >= max sampled ts so far.
     positions = jnp.arange(tokens.shape[1])[None, :]
-    sampled = (positions >= sample_begin) & (positions < pos)
+    sampled = (positions >= sample_begin[:, None]) & (positions < pos[:, None])
     ts_vals = jnp.where(
         sampled & (tokens >= ids.timestamp_begin), tokens, -1
     )
@@ -148,7 +158,7 @@ def apply_timestamp_rules(
     logits = jnp.where(has_ts[:, None] & too_small, NEG_INF, logits)
 
     # First sampled token must be a timestamp, capped at max_initial.
-    at_start = pos == sample_begin
+    at_start = (pos == sample_begin)[:, None]
     init_text_mask = ~is_ts_col
     init_cap = vocab_idx > (ids.timestamp_begin + ids.max_initial_timestamp_index)
     logits = jnp.where(at_start & (init_text_mask | init_cap), NEG_INF, logits)

@@ -463,6 +463,71 @@ def decoder_apply(
     return logits, {"k": new_k, "v": new_v}, cross_w
 
 
+def decoder_step(
+    cfg: WhisperConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [S] int32: one new token per slot
+    pos: jnp.ndarray,  # [S] int32: per-slot write position (heterogeneous)
+    kv_cache: dict,  # [L, S, H, cache_len, hd]
+    xa_kv: dict,  # [L, S, H, 1500, hd]
+):
+    """Single decode step with PER-SLOT positions — the continuous
+    batcher's core op (SURVEY.md §7 hard-part #1): slots at different
+    decode depths share one fused step; per-slot cache writes lower to a
+    scatter via vmap'd dynamic_update_slice.
+
+    Returns (logits [S, V] fp32, new_kv_cache)."""
+    dec = params["decoder"]
+    S = tokens.shape[0]
+    h = cfg.n_text_head
+    d = cfg.n_text_state
+    cache_len = kv_cache["k"].shape[3]
+    scale = (d // h) ** -0.25
+
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][pos]  # [S, d]
+    x = x[:, None, :].astype(cfg.dtype)  # [S, 1, d]
+
+    kpos = jnp.arange(cache_len)[None, :]
+    self_mask = (kpos <= pos[:, None])[:, None, None]  # [S,1,1,cache_len]
+
+    def write_slot(cache, new):
+        # cache [S, H, cache_len, hd], new [S, H, 1, hd] at pos[s]
+        return jax.vmap(
+            lambda c, n, p: jax.lax.dynamic_update_slice_in_dim(c, n, p, axis=1)
+        )(cache, new, pos)
+
+    def block(carry, inputs):
+        hx = carry
+        layer, k_cache, v_cache, xa_k, xa_v = inputs
+        y = layer_norm(hx, layer["attn_ln"])
+
+        def heads(z):  # [S,1,d] → [S,H,1,hd]
+            return _split_heads(z, h).transpose(0, 2, 1, 3)
+
+        q = heads(dense(y, layer["attn"]["q"]))
+        k_cache = write_slot(k_cache, heads(dense(y, layer["attn"]["k"])))
+        v_cache = write_slot(v_cache, heads(dense(y, layer["attn"]["v"])))
+        sa, _ = _attend(q * scale, k_cache * scale, v_cache, self_mask)
+        hx = hx + dense(sa.transpose(0, 2, 1, 3).reshape(S, 1, d), layer["attn"]["o"])
+
+        y = layer_norm(hx, layer["cross_attn_ln"])
+        q = heads(dense(y, layer["cross_attn"]["q"]))
+        ca, _ = _attend(q * scale, xa_k * scale, xa_v)
+        hx = hx + dense(ca.transpose(0, 2, 1, 3).reshape(S, 1, d), layer["cross_attn"]["o"])
+
+        hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
+        return hx, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block, x, (dec["blocks"], kv_cache["k"], kv_cache["v"], xa_kv["k"], xa_kv["v"])
+    )
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.einsum(
+        "std,vd->stv", x, dec["tok_emb"], preferred_element_type=jnp.float32
+    )[:, 0]
+    return logits, {"k": new_k, "v": new_v}
+
+
 def param_count(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 

@@ -158,6 +158,24 @@ class SttEngine:
         self._ready = True
         self._rng = jax.random.key(int(time.time()) & 0x7FFFFFFF)
         self._rng_lock = threading.Lock()
+        self._batcher = None
+        self._batcher_lock = threading.Lock()
+
+    def _get_batcher(self):
+        """Shared continuous batcher for greedy decodes (lazy)."""
+        with self._batcher_lock:
+            if self._batcher is None:
+                from .batcher import ContinuousBatcher
+
+                self._batcher = ContinuousBatcher(
+                    self.cfg,
+                    self.params,
+                    self.ids,
+                    self.suppress_mask,
+                    max_slots=max(2, self.settings.max_batch_size),
+                    cache_len=256,
+                )
+            return self._batcher
 
     # ------------------------------------------------------------------
     def is_ready(self) -> bool:
@@ -282,6 +300,36 @@ class SttEngine:
         tinit[0, : len(init_tokens)] = init_tokens
         tinit = jnp.asarray(tinit)
         max_len = min(ctx, sample_begin + SAMPLE_LEN)
+        if (
+            temperature <= 0.0
+            and beam_size <= 1
+            and self.settings.parallel_requests > 1
+        ):
+            # Greedy decodes share the continuous batcher so concurrent
+            # requests ride one decode step (replaces the reference's
+            # state pool with real batching).
+            from ..models.sampling import DecodeResult
+
+            fut = self._get_batcher().submit_encoded(
+                xa_kv, init_tokens, sot_index, max_tokens=SAMPLE_LEN
+            )
+            out = fut.result(
+                timeout=max(60.0, self.settings.request_queue_timeout_ms / 1000.0 * 120)
+            )
+            seq = out["tokens"]
+            tokens = np.asarray(tinit).copy()
+            n = len(init_tokens) + len(seq)
+            tokens[0, len(init_tokens) : n] = seq
+            tok_lps = np.zeros((1, ctx), np.float32)
+            tok_lps[0, len(init_tokens) : n] = out["token_logprobs"]
+            return DecodeResult(
+                tokens=jnp.asarray(tokens),
+                lengths=jnp.asarray([min(n + 1, ctx)], jnp.int32),
+                sum_logprobs=jnp.asarray([out["sum_logprob"]], jnp.float32),
+                avg_logprobs=jnp.asarray([out["avg_logprob"]], jnp.float32),
+                no_speech_probs=jnp.asarray([out["no_speech_prob"]], jnp.float32),
+                token_logprobs=jnp.asarray(tok_lps),
+            )
         if temperature <= 0.0 and beam_size > 1:
             return decode_window_beam(
                 self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,

@@ -1,0 +1,102 @@
+"""Continuous batcher tests: correctness vs the one-shot decode path,
+mid-flight admission, slot recycling (CPU, mini model)."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sentiric_stt_whisper_service_tpu.models import (
+    TokenIds,
+    build_suppress_mask,
+    config_for,
+    decode_window,
+    encode_xa_kv,
+    init_params,
+)
+from sentiric_stt_whisper_service_tpu.ops import N_SAMPLES, log_mel_spectrogram
+from sentiric_stt_whisper_service_tpu.runtime.batcher import ContinuousBatcher
+from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = config_for("test", dtype=jnp.float32)
+    params = init_params(cfg, jax.random.key(0))
+    tok = fallback_tokenizer()
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, tok.non_speech_tokens))
+    return cfg, params, tok, ids, sup
+
+
+@pytest.fixture()
+def batcher(setup):
+    cfg, params, tok, ids, sup = setup
+    b = ContinuousBatcher(cfg, params, ids, sup, max_slots=3, steps_per_sync=4)
+    yield b
+    b.shutdown()
+
+
+def make_window(seed):
+    rng = np.random.default_rng(seed)
+    w = np.zeros(N_SAMPLES, np.float32)
+    w[:48000] = rng.standard_normal(48000).astype(np.float32) * 0.05
+    return w
+
+
+def test_matches_oneshot_greedy(setup, batcher):
+    """Batcher output == decode_window greedy output for the same window."""
+    cfg, params, tok, ids, sup = setup
+    window = make_window(0)
+    sot = tok.sot_sequence("en")
+
+    fut = batcher.submit(window, sot, 0, max_tokens=24)
+    got = fut.result(timeout=120)
+
+    mel = log_mel_spectrogram(window[None], n_mels=cfg.n_mels)
+    xa_kv = encode_xa_kv(cfg, params, mel)
+    tinit = np.full((1, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[0, : len(sot)] = sot
+    want = decode_window(
+        cfg, params, xa_kv, jnp.asarray(tinit), len(sot), 0, ids, sup,
+        jnp.float32(0.0), jax.random.key(0), max_len=len(sot) + 24,
+    )
+    want_seq = np.asarray(want.tokens[0])[len(sot) : int(want.lengths[0])]
+    want_seq = want_seq[want_seq != ids.eot]
+    np.testing.assert_array_equal(got["tokens"], want_seq)
+    assert got["no_speech_prob"] == pytest.approx(
+        float(want.no_speech_probs[0]), abs=1e-5
+    )
+    lps = np.asarray(want.token_logprobs[0])[len(sot) : len(sot) + len(want_seq)]
+    np.testing.assert_allclose(got["token_logprobs"], lps, atol=1e-4)
+
+
+def test_concurrent_submissions(setup, batcher):
+    cfg, params, tok, ids, sup = setup
+    sot = tok.sot_sequence("en")
+    futs = [
+        batcher.submit(make_window(i), sot, 0, max_tokens=16) for i in range(5)
+    ]
+    results = [f.result(timeout=300) for f in futs]
+    assert len(results) == 5
+    for r in results:
+        assert len(r["tokens"]) <= 16 + 2
+        assert all(t < ids.eot or t >= ids.timestamp_begin for t in r["tokens"])
+    # Same-seed windows must agree (greedy determinism across slots).
+    r0 = batcher.submit(make_window(1), sot, 0, max_tokens=16).result(timeout=120)
+    np.testing.assert_array_equal(r0["tokens"], results[1]["tokens"])
+
+
+def test_slot_recycling_beyond_capacity(setup, batcher):
+    """More requests than slots — all must complete via recycling."""
+    cfg, params, tok, ids, sup = setup
+    sot = tok.sot_sequence("en")
+    futs = [
+        batcher.submit(make_window(i % 3), sot, 0, max_tokens=8)
+        for i in range(8)
+    ]
+    results = [f.result(timeout=300) for f in futs]
+    assert len(results) == 8
+    np.testing.assert_array_equal(results[0]["tokens"], results[3]["tokens"])
