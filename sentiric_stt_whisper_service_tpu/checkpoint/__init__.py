@@ -44,3 +44,32 @@ def _sibling_tokenizer(path: Path, cfg: WhisperConfig):
     if vocab_json.exists():
         return WhisperTokenizer.from_hf_files(str(vocab_json), cfg.num_languages)
     return fallback_tokenizer(cfg.n_vocab)
+
+
+# ---------------------------------------------------------------------------
+# Orbax save/restore (fine-tuning state; SURVEY.md §5.4 — the reference is
+# inference-only, training checkpoints are a framework addition)
+# ---------------------------------------------------------------------------
+
+
+def save_params(path: str, params) -> None:
+    """Save a param pytree with orbax (async-safe, atomic)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(path).resolve(), params, force=True)
+
+
+def restore_params(path: str, like=None):
+    """Restore a param pytree saved by :func:`save_params`. ``like`` (an
+    abstract or concrete pytree) restores with matching shardings/dtypes."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like
+            )
+            return ckptr.restore(Path(path).resolve(), abstract)
+        return ckptr.restore(Path(path).resolve())

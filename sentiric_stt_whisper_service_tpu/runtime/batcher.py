@@ -70,6 +70,10 @@ class _Request:
     sot_index: int
     max_tokens: int
     future: Future
+    # Cooperative cancellation, polled once per step chunk (the
+    # reference's abort callback into the decode loop,
+    # stt_engine.cpp:215-219).
+    should_abort: Optional[callable] = None
 
 
 class ContinuousBatcher:
@@ -133,12 +137,17 @@ class ContinuousBatcher:
         init_tokens: list[int],
         sot_index: int,
         max_tokens: int = 224,
+        should_abort=None,
     ) -> Future:
         """Queue one 30 s window for decoding; resolves to a dict with
-        tokens / token_logprobs / sum_logprob / avg_logprob / no_speech."""
+        tokens / token_logprobs / sum_logprob / avg_logprob / no_speech
+        (or None if aborted)."""
         fut: Future = Future()
         self._queue.put(
-            _Request(window_audio, None, list(init_tokens), sot_index, max_tokens, fut)
+            _Request(
+                window_audio, None, list(init_tokens), sot_index, max_tokens,
+                fut, should_abort,
+            )
         )
         self._wake.set()
         return fut
@@ -149,12 +158,16 @@ class ContinuousBatcher:
         init_tokens: list[int],
         sot_index: int,
         max_tokens: int = 224,
+        should_abort=None,
     ) -> Future:
         """Like :meth:`submit` but with the encoder pass already done
         (the engine reuses its per-window xa_kv)."""
         fut: Future = Future()
         self._queue.put(
-            _Request(None, xa_kv, list(init_tokens), sot_index, max_tokens, fut)
+            _Request(
+                None, xa_kv, list(init_tokens), sot_index, max_tokens, fut,
+                should_abort,
+            )
         )
         self._wake.set()
         return fut
@@ -167,11 +180,8 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
     # Jitted device ops
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnames=("self",))
     def _encode(self, mel: jnp.ndarray) -> dict:
-        xa = encoder_apply(self.cfg, self.params, mel)
-        return precompute_xa_kv(self.cfg, self.params, xa)
-    @functools.partial(jax.jit, static_argnames=("self", "n_prompt"))
+        return _encode_op(self.cfg, self.params, mel)
     def _insert_slot(
         self,
         state: BatchState,
@@ -183,113 +193,17 @@ class ContinuousBatcher:
         max_len: jnp.ndarray,  # scalar
     ) -> BatchState:
         """Prefill one window's prompt and install it into ``slot``."""
-        cfg = self.cfg
-        kv1 = init_kv_cache(cfg, 1, self.cache_len)
-        logits, kv1, _ = decoder_apply(
-            cfg, self.params, prompt, jnp.int32(0), kv1, xa_kv1
-        )
-        probs_at_sot = jax.nn.softmax(logits[0, sot_index], axis=-1)
-        nsp = probs_at_sot[self.ids.no_speech]
-
-        def put(dst, src):  # install [1,...] src at slot along its S axis
-            return jax.lax.dynamic_update_slice_in_dim(
-                dst, src.astype(dst.dtype), slot, axis=0
-            )
-
-        tokens = put(
-            state.tokens,
-            jnp.concatenate(
-                [
-                    prompt[0],
-                    jnp.full((cfg.n_text_ctx - n_prompt,), self.ids.eot, jnp.int32),
-                ]
-            )[None],
-        )
-        kv = {
-            k: jax.lax.dynamic_update_slice_in_dim(
-                state.kv[k], kv1[k], slot, axis=1
-            )
-            for k in ("k", "v")
-        }
-        xa_kv = {
-            k: jax.lax.dynamic_update_slice_in_dim(
-                state.xa_kv[k], xa_kv1[k], slot, axis=1
-            )
-            for k in ("k", "v")
-        }
-        put1 = lambda dst, val: dst.at[slot].set(val)
-        return BatchState(
-            tokens=tokens,
-            pos=put1(state.pos, jnp.int32(n_prompt)),
-            done=put1(state.done, False),
-            sample_begin=put1(state.sample_begin, jnp.int32(n_prompt)),
-            max_len=put1(state.max_len, max_len),
-            sum_lp=put1(state.sum_lp, 0.0),
-            tok_lps=put(state.tok_lps, jnp.zeros((1, cfg.n_text_ctx))),
-            no_speech=put1(state.no_speech, nsp),
-            kv=kv,
-            xa_kv=xa_kv,
-            last_logits=put(state.last_logits, logits[:, -1]),
+        return _insert_slot_op(
+            self.cfg, self.ids, self.cache_len, n_prompt, self.params,
+            state, slot, xa_kv1, prompt, sot_index, max_len,
         )
 
-    @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
+
     def _step_chunk(self, state: BatchState, n_steps: int) -> BatchState:
         """Advance all live slots ``n_steps`` greedy decode steps."""
-        cfg, ids = self.cfg, self.ids
-        S = self.S
-
-        def one_step(state: BatchState) -> BatchState:
-            logits = state.last_logits + self.suppress_mask[None, :]
-            at_start = state.pos == state.sample_begin
-            start_mask = (
-                jnp.zeros((cfg.n_vocab,))
-                .at[ids.blank].set(NEG_INF)
-                .at[ids.eot].set(NEG_INF)
-            )
-            logits = jnp.where(at_start[:, None], logits + start_mask[None], logits)
-            logits = apply_timestamp_rules(
-                logits, state.tokens, state.pos, state.sample_begin, ids
-            )
-            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            logprobs = jax.nn.log_softmax(logits, axis=-1)
-            tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
-
-            hit_max = state.pos >= jnp.minimum(state.max_len, cfg.n_text_ctx - 1)
-            next_tok = jnp.where(state.done | hit_max, ids.eot, next_tok)
-            tok_lp = jnp.where(state.done, 0.0, tok_lp)
-
-            write_pos = jnp.minimum(state.pos, cfg.n_text_ctx - 1)
-            tokens = jax.vmap(
-                lambda row, t, p: row.at[p].set(t)
-            )(state.tokens, next_tok, write_pos)
-            tok_lps = jax.vmap(
-                lambda row, v, p: row.at[p].set(v)
-            )(state.tok_lps, tok_lp, write_pos)
-            sum_lp = state.sum_lp + tok_lp
-            new_done = state.done | (next_tok == ids.eot)
-
-            step_logits, kv = decoder_step(
-                cfg, self.params, next_tok,
-                jnp.minimum(write_pos, self.cache_len - 1),
-                state.kv, state.xa_kv,
-            )
-            return BatchState(
-                tokens=tokens,
-                pos=jnp.where(state.done, state.pos, state.pos + 1),
-                done=new_done,
-                sample_begin=state.sample_begin,
-                max_len=state.max_len,
-                sum_lp=sum_lp,
-                tok_lps=tok_lps,
-                no_speech=state.no_speech,
-                kv=kv,
-                xa_kv=state.xa_kv,
-                last_logits=step_logits,
-            )
-
-        for _ in range(n_steps):
-            state = one_step(state)
-        return state
+        return _step_chunk_op(
+            self.cfg, self.ids, n_steps, self.params, self.suppress_mask, state
+        )
 
     # ------------------------------------------------------------------
     # Worker loop (host)
@@ -344,6 +258,16 @@ class ContinuousBatcher:
                 )
                 self._slot_req[slot] = req
 
+            # Cooperative abort: cancelled slots resolve immediately.
+            for slot, req in enumerate(self._slot_req):
+                if req is not None and req.should_abort and req.should_abort():
+                    self._slot_req[slot] = None
+                    self._state = self._state._replace(
+                        done=self._state.done.at[slot].set(True)
+                    )
+                    if not req.future.done():
+                        req.future.set_result(None)
+
             live = [i for i, r in enumerate(self._slot_req) if r is not None]
             if not live:
                 self._wake.wait(timeout=0.05)
@@ -382,3 +306,126 @@ class ContinuousBatcher:
                         ),
                     }
                 )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",)
+)
+def _encode_op(cfg, params, mel):
+    xa = encoder_apply(cfg, params, mel)
+    return precompute_xa_kv(cfg, params, xa)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "ids", "cache_len", "n_prompt")
+)
+def _insert_slot_op(
+    cfg, ids, cache_len, n_prompt, params, state, slot, xa_kv1, prompt,
+    sot_index, max_len,
+):
+    if True:
+        kv1 = init_kv_cache(cfg, 1, cache_len)
+        logits, kv1, _ = decoder_apply(
+            cfg, params, prompt, jnp.int32(0), kv1, xa_kv1
+        )
+        probs_at_sot = jax.nn.softmax(logits[0, sot_index], axis=-1)
+        nsp = probs_at_sot[ids.no_speech]
+
+        def put(dst, src):  # install [1,...] src at slot along its S axis
+            return jax.lax.dynamic_update_slice_in_dim(
+                dst, src.astype(dst.dtype), slot, axis=0
+            )
+
+        tokens = put(
+            state.tokens,
+            jnp.concatenate(
+                [
+                    prompt[0],
+                    jnp.full((cfg.n_text_ctx - n_prompt,), ids.eot, jnp.int32),
+                ]
+            )[None],
+        )
+        kv = {
+            k: jax.lax.dynamic_update_slice_in_dim(
+                state.kv[k], kv1[k], slot, axis=1
+            )
+            for k in ("k", "v")
+        }
+        xa_kv = {
+            k: jax.lax.dynamic_update_slice_in_dim(
+                state.xa_kv[k], xa_kv1[k], slot, axis=1
+            )
+            for k in ("k", "v")
+        }
+        put1 = lambda dst, val: dst.at[slot].set(val)
+        return BatchState(
+            tokens=tokens,
+            pos=put1(state.pos, jnp.int32(n_prompt)),
+            done=put1(state.done, False),
+            sample_begin=put1(state.sample_begin, jnp.int32(n_prompt)),
+            max_len=put1(state.max_len, max_len),
+            sum_lp=put1(state.sum_lp, 0.0),
+            tok_lps=put(state.tok_lps, jnp.zeros((1, cfg.n_text_ctx))),
+            no_speech=put1(state.no_speech, nsp),
+            kv=kv,
+            xa_kv=xa_kv,
+            last_logits=put(state.last_logits, logits[:, -1]),
+        )
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ids", "n_steps"))
+def _step_chunk_op(cfg, ids, n_steps, params, suppress_mask, state):
+    if True:
+        cache_len = state.kv["k"].shape[3]
+
+        def one_step(state: BatchState) -> BatchState:
+            logits = state.last_logits + suppress_mask[None, :]
+            at_start = state.pos == state.sample_begin
+            start_mask = (
+                jnp.zeros((cfg.n_vocab,))
+                .at[ids.blank].set(NEG_INF)
+                .at[ids.eot].set(NEG_INF)
+            )
+            logits = jnp.where(at_start[:, None], logits + start_mask[None], logits)
+            logits = apply_timestamp_rules(
+                logits, state.tokens, state.pos, state.sample_begin, ids
+            )
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+            tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+
+            hit_max = state.pos >= jnp.minimum(state.max_len, cfg.n_text_ctx - 1)
+            next_tok = jnp.where(state.done | hit_max, ids.eot, next_tok)
+            tok_lp = jnp.where(state.done, 0.0, tok_lp)
+
+            write_pos = jnp.minimum(state.pos, cfg.n_text_ctx - 1)
+            tokens = jax.vmap(
+                lambda row, t, p: row.at[p].set(t)
+            )(state.tokens, next_tok, write_pos)
+            tok_lps = jax.vmap(
+                lambda row, v, p: row.at[p].set(v)
+            )(state.tok_lps, tok_lp, write_pos)
+            sum_lp = state.sum_lp + tok_lp
+            new_done = state.done | (next_tok == ids.eot)
+
+            step_logits, kv = decoder_step(
+                cfg, params, next_tok,
+                jnp.minimum(write_pos, cache_len - 1),
+                state.kv, state.xa_kv,
+            )
+            return BatchState(
+                tokens=tokens,
+                pos=jnp.where(state.done, state.pos, state.pos + 1),
+                done=new_done,
+                sample_begin=state.sample_begin,
+                max_len=state.max_len,
+                sum_lp=sum_lp,
+                tok_lps=tok_lps,
+                no_speech=state.no_speech,
+                kv=kv,
+                xa_kv=state.xa_kv,
+                last_logits=step_logits,
+            )
+
+        for _ in range(n_steps):
+            state = one_step(state)
+        return state

@@ -293,6 +293,7 @@ class SttEngine:
         temperature: float,
         beam_size: int,
         best_of: int,
+        should_abort=None,
     ):
         """One decode attempt at one temperature for a single window."""
         ctx = self.cfg.n_text_ctx
@@ -311,11 +312,14 @@ class SttEngine:
             from ..models.sampling import DecodeResult
 
             fut = self._get_batcher().submit_encoded(
-                xa_kv, init_tokens, sot_index, max_tokens=SAMPLE_LEN
+                xa_kv, init_tokens, sot_index, max_tokens=SAMPLE_LEN,
+                should_abort=should_abort,
             )
             out = fut.result(
                 timeout=max(60.0, self.settings.request_queue_timeout_ms / 1000.0 * 120)
             )
+            if out is None:  # aborted mid-decode
+                return None
             seq = out["tokens"]
             tokens = np.asarray(tinit).copy()
             n = len(init_tokens) + len(seq)
@@ -406,8 +410,10 @@ class SttEngine:
                 used_temp = t
                 res = self._decode_one(
                     xa_kv, init_tokens, sample_begin, sot_index,
-                    t, beam_size, best_of,
+                    t, beam_size, best_of, should_abort=options.should_abort,
                 )
+                if res is None:  # aborted mid-decode
+                    return results
                 seq = np.asarray(res.tokens[0])[
                     sample_begin : int(res.lengths[0])
                 ]

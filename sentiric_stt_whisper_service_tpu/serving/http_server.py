@@ -55,6 +55,7 @@ class HttpServer:
         self.app.router.add_get("/health", self.health)
         self.app.router.add_post("/v1/transcribe", self.transcribe)
         self.app.router.add_post("/v1/audio/transcriptions", self.transcribe)
+        self.app.router.add_post("/debug/profile", self.profile)
         studio = Path(studio_dir or Path(__file__).resolve().parents[2] / "studio")
         if studio.is_dir():
             self.app.router.add_get("/", self._index(studio))
@@ -79,6 +80,26 @@ class HttpServer:
             },
             status=200 if ready else 503,
         )
+
+    async def profile(self, request: web.Request):
+        """Capture a JAX device trace (SURVEY.md §5.1 TPU equivalent of the
+        reference's request-level profiling): POST /debug/profile?seconds=2
+        writes a TensorBoard-compatible trace and returns its path."""
+        import tempfile
+
+        import jax as _jax
+
+        try:
+            seconds = min(30.0, float(request.query.get("seconds", "2")))
+        except ValueError:
+            return _json({"error": "bad seconds"}, 400)
+        out_dir = tempfile.mkdtemp(prefix="sstw_trace_")
+        _jax.profiler.start_trace(out_dir)
+        try:
+            await asyncio.sleep(seconds)
+        finally:
+            _jax.profiler.stop_trace()
+        return _json({"trace_dir": out_dir, "seconds": seconds})
 
     async def transcribe(self, request: web.Request):
         self.metrics.requests_total.inc()
