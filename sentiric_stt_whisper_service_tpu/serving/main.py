@@ -57,6 +57,18 @@ def serve(settings: Settings | None = None, random_init: bool = False, block=Tru
         except Exception as e:  # pragma: no cover - depends on network
             suts_error("MODEL_PROVISION_FAILED", "", "", "", "%s", e)
             raise
+        if settings.enable_vad:
+            # Best-effort: the built-in energy VAD covers the gate when the
+            # Silero checkpoint can't be provisioned (main.cpp:87-89).
+            try:
+                from ..checkpoint import ModelManager as _MM
+
+                _MM.ensure_vad_model(settings)
+            except Exception as e:
+                suts_error(
+                    "VAD_MODEL_PROVISION_FAILED", "", "", "",
+                    "%s (continuing with energy VAD)", e,
+                )
 
     metrics = AppMetrics()
     engine = SttEngine(settings, random_init=random_init)
