@@ -84,6 +84,12 @@ class RequestOptions:
     best_of: int = -1
     prosody_opts: ProsodyOptions = dataclasses.field(default_factory=ProsodyOptions)
     should_abort: Optional[Callable[[], bool]] = None
+    # True (default) = sequential windows with prompt carry-over (whisper /
+    # reference semantics). False = all 30 s windows decoded in ONE batched
+    # call (fixed stride, no conditioning) — a TPU-native fast path the
+    # reference cannot express; typically several times faster on long
+    # audio at slightly different segmentation.
+    condition_on_previous_text: bool = True
 
 
 @dataclasses.dataclass
@@ -373,6 +379,17 @@ class SttEngine:
         prompt_text_tokens: list[int] = (
             tok.encode(" " + options.prompt.strip()) if options.prompt.strip() else []
         )
+
+        n_windows_total = -(-audio.shape[0] // N_SAMPLES)
+        if (
+            not options.condition_on_previous_text
+            and not prompt_text_tokens
+            and n_windows_total > 1
+        ):
+            return self._transcribe_batched(
+                audio, options, language, task, clusterer, diarize
+            )
+
         carried_tokens: list[int] = []
 
         results: list[TranscriptionResult] = []
@@ -549,6 +566,213 @@ class SttEngine:
                 if a.speaker_id and b.speaker_id and a.speaker_id != b.speaker_id:
                     a.speaker_turn_next = True
         return results
+
+    # ------------------------------------------------------------------
+    def _transcribe_batched(
+        self,
+        audio: np.ndarray,
+        options: RequestOptions,
+        language: str,
+        task: str,
+        clusterer: SpeakerClusterer,
+        diarize: bool,
+    ) -> list[TranscriptionResult]:
+        """Batched long-form fast path: fixed 30 s strides, all windows of a
+        group decoded in ONE call (condition_on_previous_text=False). The
+        temperature ladder re-decodes a whole group when any window fails
+        its gates; accepted windows keep their first passing result."""
+        s = self.settings
+        cfg = self.cfg
+        tok = self.tokenizer
+        ids = self.ids
+        temperature0, beam_size, best_of = self._decode_options(options)
+
+        n = audio.shape[0]
+        n_windows = -(-n // N_SAMPLES)
+        group_size = max(1, s.max_batch_size)
+        init_tokens = tok.sot_sequence(language, task)
+        sample_begin = len(init_tokens)
+        max_len = min(cfg.n_text_ctx, sample_begin + SAMPLE_LEN)
+        results: list[TranscriptionResult] = []
+
+        for g0 in range(0, n_windows, group_size):
+            if options.should_abort and options.should_abort():
+                break
+            g_idx = list(range(g0, min(g0 + group_size, n_windows)))
+            W = len(g_idx)
+            windows = np.zeros((W, N_SAMPLES), np.float32)
+            durs_cs = []
+            for j, w in enumerate(g_idx):
+                remain = min(n - w * N_SAMPLES, N_SAMPLES)
+                windows[j, :remain] = audio[w * N_SAMPLES : w * N_SAMPLES + remain]
+                durs_cs.append(int(round(remain / SAMPLE_RATE * 100)))
+
+            mel = compute_log_mel(windows, n_mels=cfg.n_mels, dtype=cfg.dtype)
+            xa_kv = encode_xa_kv(cfg, self.params, mel)
+            tinit = np.full((W, cfg.n_text_ctx), ids.eot, np.int32)
+            tinit[:, :sample_begin] = init_tokens
+            tinit = jnp.asarray(tinit)
+
+            accepted: dict[int, tuple] = {}  # j -> (seq, tok_lps)
+            silent: set[int] = set()
+            temps = [temperature0 + 0.2 * i for i in range(6)]
+            temps = [t for t in temps if t <= 1.0 + 1e-6] or [temperature0]
+            last = {}
+            for t in temps:
+                if len(accepted) + len(silent) == W:
+                    break
+                if t <= 0.0 and beam_size > 1:
+                    res = decode_window_beam(
+                        cfg, self.params, xa_kv, tinit, sample_begin, 0, ids,
+                        self.suppress_mask, beam_size=beam_size, max_len=max_len,
+                    )
+                else:
+                    res = decode_window(
+                        cfg, self.params, xa_kv, tinit, sample_begin, 0, ids,
+                        self.suppress_mask, jnp.float32(max(t, 0.0)),
+                        self._next_rng(), max_len=max_len,
+                    )
+                toks_np = np.asarray(res.tokens)
+                lens_np = np.asarray(res.lengths)
+                lps_np = np.asarray(res.token_logprobs)
+                for j in range(W):
+                    if j in accepted or j in silent:
+                        continue
+                    seq = toks_np[j, sample_begin : lens_np[j]]
+                    tok_lps = lps_np[j, sample_begin : lens_np[j]]
+                    text = tok.decode([int(x) for x in seq if x < ids.eot])
+                    avg_lp = float(res.avg_logprobs[j])
+                    no_speech = (
+                        float(res.no_speech_probs[j]) > s.no_speech_threshold
+                        and avg_lp < s.logprob_threshold
+                    )
+                    if no_speech:
+                        silent.add(j)
+                        continue
+                    ok = (
+                        _compression_ratio(text) <= COMPRESSION_RATIO_THRESHOLD
+                        and avg_lp >= s.logprob_threshold
+                    )
+                    last[j] = (seq, tok_lps)
+                    if ok:
+                        accepted[j] = (seq, tok_lps)
+            for j in range(W):
+                if j not in accepted and j not in silent and j in last:
+                    accepted[j] = last[j]  # keep best-effort final attempt
+
+            # Batched token-time alignment for accepted windows.
+            token_times: dict[int, np.ndarray] = {}
+            if accepted and not s.no_timestamps:
+                try:
+                    from ..models.timestamps import (
+                        alignment_scores,
+                        token_boundaries,
+                    )
+
+                    keys = sorted(accepted)
+                    t_max = max(len(accepted[j][0]) for j in keys)
+                    if t_max > 0:
+                        align = np.full(
+                            (len(keys), sample_begin + t_max), ids.eot, np.int64
+                        )
+                        for r, j in enumerate(keys):
+                            seqj = [
+                                int(x) for x in accepted[j][0] if x != ids.eot
+                            ]
+                            align[r, :sample_begin] = init_tokens
+                            align[r, sample_begin : sample_begin + len(seqj)] = seqj
+                        sel = {"k": xa_kv["k"][:, keys], "v": xa_kv["v"][:, keys]}
+                        scores = np.asarray(
+                            alignment_scores(
+                                cfg, self.params, sel, jnp.asarray(align)
+                            )
+                        )
+                        for r, j in enumerate(keys):
+                            n_frames = max(1, int(durs_cs[j] / 2))
+                            sc = scores[r, sample_begin:]
+                            if sc.shape[0]:
+                                token_times[j] = token_boundaries(sc, n_frames)
+                except Exception:  # noqa: BLE001 — timestamps best-effort
+                    token_times = {}
+
+            for j in sorted(accepted):
+                seq, tok_lps = accepted[j]
+                base_cs = g_idx[j] * 3000  # 30 s per window in centisec
+                segments, _ = _parse_segments(seq, tok_lps, ids, durs_cs[j])
+                times = token_times.get(j)
+                results.extend(
+                    self._build_segment_results(
+                        segments, base_cs, times, audio, language,
+                        options, clusterer, diarize,
+                    )
+                )
+
+        if diarize:
+            for a, b in zip(results, results[1:]):
+                if a.speaker_id and b.speaker_id and a.speaker_id != b.speaker_id:
+                    a.speaker_turn_next = True
+        return results
+
+    def _build_segment_results(
+        self,
+        segments,
+        base_cs: int,
+        token_times,
+        audio: np.ndarray,
+        language: str,
+        options: RequestOptions,
+        clusterer: SpeakerClusterer,
+        diarize: bool,
+    ) -> list[TranscriptionResult]:
+        """Shared per-segment post-processing (gates, prosody, clustering)."""
+        tok = self.tokenizer
+        n = audio.shape[0]
+        out: list[TranscriptionResult] = []
+        for seg in segments:
+            raw_text = tok.decode(seg["tokens"])
+            text = clean_utf8(raw_text).strip()
+            if is_hallucination(text):
+                continue
+            probs = [float(np.exp(lp)) for lp in seg["logprobs"]]
+            avg_p = float(np.mean(probs)) if probs else 0.0
+            if avg_p < MIN_SEGMENT_AVG_PROB:
+                continue
+            t0_cs = base_cs + seg["t0"]
+            t1_cs = base_cs + seg["t1"]
+            s0 = min(max(0, int(t0_cs / 100.0 * SAMPLE_RATE)), n)
+            s1 = min(max(s0, int(t1_cs / 100.0 * SAMPLE_RATE)), n)
+            if s1 - s0 >= 160:
+                tags = extract_prosody(audio[s0:s1], SAMPLE_RATE, options.prosody_opts)
+            else:
+                tags = AffectiveTags()
+            speaker_id = clusterer.assign_or_add(tags.speaker_vec) if diarize else ""
+            token_datas = []
+            for t_id, lp, pos in zip(
+                seg["tokens"], seg["logprobs"], seg["positions"]
+            ):
+                if token_times is not None and pos < len(token_times):
+                    tt0 = base_cs + int(round(token_times[pos, 0] * 100))
+                    tt1 = base_cs + int(round(token_times[pos, 1] * 100))
+                else:
+                    tt0, tt1 = t0_cs, t1_cs
+                token_datas.append(
+                    TokenData(
+                        text=clean_utf8(tok.token_piece(t_id)),
+                        p=float(np.exp(lp)), t0=tt0, t1=tt1,
+                    )
+                )
+            out.append(
+                TranscriptionResult(
+                    text=text, language=language, prob=avg_p,
+                    t0=t0_cs, t1=t1_cs, tokens=token_datas,
+                    token_count=len(token_datas),
+                    gender_proxy=tags.gender_proxy,
+                    emotion_proxy=tags.emotion_proxy,
+                    arousal=tags.arousal, valence=tags.valence,
+                    affective=tags, speaker_id=speaker_id,
+                )
+            )
+        return out
 
 
 def _compression_ratio(text: str) -> float:

@@ -1,0 +1,68 @@
+"""Batched long-form fast path (condition_on_previous_text=False)."""
+
+import numpy as np
+import pytest
+
+from sentiric_stt_whisper_service_tpu.config import Settings
+from sentiric_stt_whisper_service_tpu.runtime import RequestOptions, SttEngine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    s = Settings(
+        enable_vad=False, beam_size=1, best_of=1, parallel_requests=1,
+        max_batch_size=4,
+    )
+    return SttEngine(s, model_name="test", random_init=True)
+
+
+def long_audio(n_windows=3):
+    rng = np.random.default_rng(11)
+    t = np.arange(n_windows * 30 * 16000) / 16000
+    carrier = np.sin(2 * np.pi * 160 * t)
+    env = 0.7 + 0.3 * np.sin(2 * np.pi * 2.5 * t)
+    return (0.15 * carrier * env + 0.004 * rng.standard_normal(len(t))).astype(
+        np.float32
+    )
+
+
+def test_batched_runs_and_is_wellformed(engine):
+    audio = long_audio(3)
+    res = engine.transcribe(
+        audio, 16000,
+        RequestOptions(language="en", condition_on_previous_text=False),
+    )
+    assert isinstance(res, list)
+    for r in res:
+        assert r.t1 >= r.t0 >= 0
+        assert r.t1 <= 90 * 100 + 100
+        assert r.token_count == len(r.tokens)
+    # times from different windows are window-offset (monotone starts)
+    starts = [r.t0 for r in res]
+    assert starts == sorted(starts)
+
+
+def test_batched_vs_sequential_equivalent_windows(engine):
+    """First window's decode must agree between modes (no carry-over on
+    window 0 in either mode, greedy determinism)."""
+    audio = long_audio(2)
+    seq_res = engine.transcribe(
+        audio, 16000, RequestOptions(language="en")
+    )
+    bat_res = engine.transcribe(
+        audio, 16000,
+        RequestOptions(language="en", condition_on_previous_text=False),
+    )
+    seq_w0 = [r.text for r in seq_res if r.t1 <= 3000]
+    bat_w0 = [r.text for r in bat_res if r.t1 <= 3000]
+    assert seq_w0 == bat_w0
+
+
+def test_single_window_unaffected(engine):
+    audio = long_audio(1)[: 16000 * 5]
+    a = engine.transcribe(audio, 16000, RequestOptions(language="en"))
+    b = engine.transcribe(
+        audio, 16000,
+        RequestOptions(language="en", condition_on_previous_text=False),
+    )
+    assert [r.text for r in a] == [r.text for r in b]
