@@ -1,0 +1,106 @@
+"""Numerical parity vs HuggingFace transformers' Whisper implementation.
+
+Instantiates a small random-init torch WhisperForConditionalGeneration
+(no downloads), maps its weights through our HF loader, and checks that
+the mel frontend, encoder, and teacher-forced decoder logits agree. This
+is the external oracle for the from-scratch model stack (SURVEY.md §4
+"numerical parity tests for mel/encoder/decoder vs. reference outputs").
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from sentiric_stt_whisper_service_tpu.checkpoint.safetensors_io import (
+    params_from_hf_state,
+)
+from sentiric_stt_whisper_service_tpu.models import encoder_apply
+from sentiric_stt_whisper_service_tpu.models.whisper import (
+    decoder_apply,
+    init_kv_cache,
+    precompute_xa_kv,
+)
+from sentiric_stt_whisper_service_tpu.ops import log_mel_spectrogram
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch.manual_seed(0)
+    cfg = transformers.WhisperConfig(
+        vocab_size=51865,
+        num_mel_bins=80,
+        d_model=128,
+        encoder_layers=2,
+        encoder_attention_heads=2,
+        decoder_layers=2,
+        decoder_attention_heads=2,
+        encoder_ffn_dim=512,
+        decoder_ffn_dim=512,
+        max_source_positions=1500,
+        max_target_positions=448,
+    )
+    model = transformers.WhisperForConditionalGeneration(cfg).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def mapped(hf_model):
+    state = {
+        k: v.detach().numpy() for k, v in hf_model.model.state_dict().items()
+    }
+    cfg, params = params_from_hf_state(state, dtype=jnp.float32)
+    assert cfg.n_audio_head == 2 and cfg.n_text_head == 2
+    return cfg, params
+
+
+def test_mel_matches_hf_feature_extractor(rng):
+    fe = transformers.WhisperFeatureExtractor()
+    audio = (rng.standard_normal(480000) * 0.1).astype(np.float32)
+    want = fe(audio, sampling_rate=16000, return_tensors="np").input_features[0].T
+    got = np.asarray(log_mel_spectrogram(audio))
+    assert got.shape == want.shape == (3000, 80)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_encoder_matches_hf(hf_model, mapped, rng):
+    cfg, params = mapped
+    audio = (rng.standard_normal(480000) * 0.1).astype(np.float32)
+    mel = np.asarray(log_mel_spectrogram(audio))  # [3000, 80]
+    with torch.no_grad():
+        want = (
+            hf_model.model.encoder(
+                torch.from_numpy(mel.T[None]).float()
+            ).last_hidden_state.numpy()[0]
+        )
+    got = np.asarray(encoder_apply(cfg, params, jnp.asarray(mel[None])))[0]
+    assert got.shape == want.shape == (1500, 128)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_decoder_logits_match_hf(hf_model, mapped, rng):
+    cfg, params = mapped
+    audio = (rng.standard_normal(480000) * 0.1).astype(np.float32)
+    mel = np.asarray(log_mel_spectrogram(audio))
+    dec_ids = np.array([[50258, 50259, 50359, 123, 4567, 891]], np.int64)
+    with torch.no_grad():
+        want = hf_model(
+            input_features=torch.from_numpy(mel.T[None]).float(),
+            decoder_input_ids=torch.from_numpy(dec_ids),
+        ).logits.numpy()[0]
+
+    xa = encoder_apply(cfg, params, jnp.asarray(mel[None]))
+    xa_kv = precompute_xa_kv(cfg, params, xa)
+    kv = init_kv_cache(cfg, 1)
+    logits, _, _ = decoder_apply(
+        cfg, params, jnp.asarray(dec_ids, jnp.int32), jnp.int32(0), kv, xa_kv
+    )
+    got = np.asarray(logits)[0]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
+    # argmax agreement at every position (what decoding actually consumes)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
