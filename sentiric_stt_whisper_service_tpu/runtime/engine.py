@@ -415,7 +415,9 @@ class SttEngine:
             if prefix:
                 init_tokens = [sp.sot_prev] + prefix
             sot_index = len(init_tokens)
-            init_tokens += tok.sot_sequence(language, task)
+            init_tokens += tok.sot_sequence(
+                language if self.cfg.is_multilingual else None, task
+            )
             sample_begin = len(init_tokens)
 
             # Temperature-fallback ladder.
@@ -590,7 +592,9 @@ class SttEngine:
         n = audio.shape[0]
         n_windows = -(-n // N_SAMPLES)
         group_size = max(1, s.max_batch_size)
-        init_tokens = tok.sot_sequence(language, task)
+        init_tokens = tok.sot_sequence(
+            language if cfg.is_multilingual else None, task
+        )
         sample_begin = len(init_tokens)
         max_len = min(cfg.n_text_ctx, sample_begin + SAMPLE_LEN)
         results: list[TranscriptionResult] = []
