@@ -94,6 +94,10 @@ class Settings:
 
     sample_rate: int = 16000
     stream_buffer_samples: int = 8000  # 500 ms @ 16 kHz
+    # Incremental streaming: commit stable segments early and trim the
+    # buffer (beats the reference's redecode-everything loop). Off by
+    # default for exact wire-behavior parity.
+    stream_incremental: bool = False
 
     log_level: str = "info"
     grpc_ca_path: str = ""
@@ -157,6 +161,7 @@ def load_settings() -> Settings:
     s.stream_buffer_samples = _env_int(
         "STREAM_BUFFER_SAMPLES", s.stream_buffer_samples
     )
+    s.stream_incremental = _env_bool("STREAM_INCREMENTAL", s.stream_incremental)
 
     s.log_level = _env("LOG_LEVEL", s.log_level)
     s.grpc_ca_path = os.environ.get("GRPC_TLS_CA_PATH", s.grpc_ca_path)

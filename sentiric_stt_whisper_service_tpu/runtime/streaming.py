@@ -1,0 +1,168 @@
+"""Streaming transcription sessions.
+
+The reference's streaming design re-decodes the ENTIRE accumulated buffer
+every 500 ms and only finalizes on EOS or the 30 s cap
+(/root/reference/src/grpc_server.cpp:222-298; SURVEY.md §3.3 "the TPU
+design can beat this"). :class:`StreamingSession` keeps that wire protocol
+(partials, finals, EOS-on-empty-chunk, 30 s force-final) and adds an
+opt-in **incremental mode**: segments that decode identically in two
+consecutive partial passes and end safely before the buffer head are
+committed as finals immediately, the audio buffer is trimmed to the
+commit point, and the committed text is carried as the decoder prompt —
+so per-tick work stays bounded by the uncommitted tail instead of growing
+with the whole utterance (LocalAgreement-style policy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..config import Settings
+from ..native import StreamBuffer
+from .engine import RequestOptions, SttEngine, TranscriptionResult
+
+MAX_BUFFER_SAMPLES = 16000 * 30  # hard cap (grpc_server.cpp:132)
+COMMIT_GUARD_CS = 100  # don't commit segments ending within 1 s of the head
+
+
+@dataclasses.dataclass
+class StreamEvent:
+    result: TranscriptionResult
+    is_final: bool
+
+
+class StreamingSession:
+    def __init__(
+        self,
+        engine: SttEngine,
+        options: Optional[RequestOptions] = None,
+        incremental: bool = False,
+    ):
+        self.engine = engine
+        self.settings: Settings = engine.get_settings()
+        self.options = options or RequestOptions()
+        self.incremental = incremental
+        self.buffer = StreamBuffer()
+        self.last_processed = 0
+        # incremental state
+        self.committed_cs = 0  # absolute centiseconds already finalized
+        self.trimmed_samples = 0  # samples dropped from the buffer front
+        self.carried_text = ""
+        self._prev_partial: list[tuple[str, int, int]] = []
+
+    # ------------------------------------------------------------------
+    def feed(self, chunk: bytes) -> list[StreamEvent]:
+        """Feed one wire chunk; empty chunk = EOS (reference protocol)."""
+        if len(chunk) == 0:
+            return self.finalize()
+        self.buffer.append(chunk)
+        if self.buffer.size - self.last_processed < self.settings.stream_buffer_samples:
+            return []
+        return self._tick()
+
+    def finalize(self) -> list[StreamEvent]:
+        """EOS: decode what's left and emit it as finals; reset."""
+        events: list[StreamEvent] = []
+        pcm = self.buffer.read()
+        if pcm.size:
+            for res in self._transcribe(pcm):
+                if res.text:
+                    events.append(StreamEvent(self._offset(res), True))
+        self.buffer.clear()
+        self.last_processed = 0
+        self._prev_partial = []
+        if self.incremental:
+            self.trimmed_samples = 0
+            self.committed_cs = 0
+            self.carried_text = ""
+        return events
+
+    # ------------------------------------------------------------------
+    def _transcribe(self, pcm: np.ndarray) -> list[TranscriptionResult]:
+        opts = dataclasses.replace(
+            self.options,
+            prompt=self.carried_text if self.incremental else self.options.prompt,
+        )
+        return self.engine.transcribe_pcm16(pcm, 16000, opts)
+
+    def _offset(self, res: TranscriptionResult) -> TranscriptionResult:
+        if not self.incremental or self.trimmed_samples == 0:
+            return res
+        off = int(round(self.trimmed_samples / 16000 * 100))
+        res = dataclasses.replace(res)
+        res.t0 += off
+        res.t1 += off
+        for t in res.tokens:
+            t.t0 += off
+            t.t1 += off
+        return res
+
+    def _tick(self) -> list[StreamEvent]:
+        events: list[StreamEvent] = []
+        pcm = self.buffer.read()
+        results = [r for r in self._transcribe(pcm) if r.text]
+        self.last_processed = self.buffer.size
+
+        if self.incremental and results:
+            buffer_cs = int(round(pcm.size / 16000 * 100))
+            cur = [(r.text, r.t0, r.t1) for r in results]
+            commit_n = 0
+            for i, sig in enumerate(cur):
+                if (
+                    i < len(self._prev_partial)
+                    and self._prev_partial[i] == sig
+                    and sig[2] < buffer_cs - COMMIT_GUARD_CS
+                ):
+                    commit_n = i + 1
+                else:
+                    break
+            if commit_n:
+                commit_end_cs = cur[commit_n - 1][2]
+                for r in results[:commit_n]:
+                    events.append(StreamEvent(self._offset(r), True))
+                    self.carried_text = (
+                        self.carried_text + " " + r.text
+                    ).strip()[-400:]
+                # Trim the buffer to the commit point.
+                cut = min(int(commit_end_cs / 100 * 16000), pcm.size)
+                remainder = pcm[cut:]
+                self.buffer.clear()
+                if remainder.size:
+                    self.buffer.append(remainder.tobytes())
+                self.trimmed_samples += cut
+                self.last_processed = self.buffer.size
+                results = results[commit_n:]
+                cur = cur[commit_n:]
+                # Times of the remaining partials are still relative to the
+                # pre-trim buffer; shift them.
+                shift = int(round(cut / 16000 * 100))
+                rebased = []
+                for r in results:
+                    r = dataclasses.replace(r)
+                    r.t0 = max(0, r.t0 - shift)
+                    r.t1 = max(0, r.t1 - shift)
+                    rebased.append(r)
+                results = rebased
+                cur = [(r.text, r.t0, r.t1) for r in results]
+            self._prev_partial = cur
+
+        # Combined partial (reference semantics: one message, joined text,
+        # last segment's affective block).
+        if results:
+            combined = dataclasses.replace(results[-1])
+            combined.text = " ".join(r.text for r in results) + " "
+            events.append(StreamEvent(self._offset(combined), False))
+
+        # 30 s cap → force-final everything (grpc_server.cpp:274-298).
+        if self.buffer.size > MAX_BUFFER_SAMPLES:
+            for r in results:
+                events.append(StreamEvent(self._offset(r), True))
+            if self.incremental:
+                self.trimmed_samples += self.buffer.size
+            self.buffer.clear()
+            self.last_processed = 0
+            self._prev_partial = []
+        return events
