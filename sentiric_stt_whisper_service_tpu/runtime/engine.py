@@ -184,6 +184,21 @@ class SttEngine:
             return self._batcher
 
     # ------------------------------------------------------------------
+    def warmup(self) -> float:
+        """Compile-warm the serving path (encoder + greedy ladder rungs +
+        alignment) with a short synthetic clip; returns seconds spent.
+        First-request latency otherwise pays minutes of XLA compilation
+        (partially mitigated by the persistent compile cache)."""
+        t0 = time.perf_counter()
+        t = np.arange(SAMPLE_RATE, dtype=np.float32) / SAMPLE_RATE
+        clip = (0.1 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+        try:
+            self.transcribe(clip, SAMPLE_RATE, RequestOptions(language="en"))
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
+        return time.perf_counter() - t0
+
+    # ------------------------------------------------------------------
     def is_ready(self) -> bool:
         return self._ready
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import os
 import signal
 import threading
 
@@ -72,6 +73,10 @@ def serve(settings: Settings | None = None, random_init: bool = False, block=Tru
 
     metrics = AppMetrics()
     engine = SttEngine(settings, random_init=random_init)
+    if os.environ.get("STT_WHISPER_SERVICE_WARMUP", "true").lower() in ("true", "1"):
+        suts_info("WARMUP_START", "", "", "", "Compile-warming the decode path")
+        dt = engine.warmup()
+        suts_info("WARMUP_DONE", "", "", "", "Warmup finished in %.1fs", dt)
 
     grpc_server = build_server(engine, metrics, settings)
     grpc_server.start()
