@@ -31,12 +31,23 @@ def main():
     from sentiric_stt_whisper_service_tpu.ops import N_SAMPLES, compute_log_mel
     from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
 
+    import os
+
     model_name = "large-v3"
-    B = int(__import__("os").environ.get("BENCH_BATCH", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     DECODE_TOKENS = 128
+    # int8 = the reference's default compute_type (config.h:45); weight-only
+    # int8 + int8 cross-KV (ops/quant.py) on the bandwidth-bound decode path.
+    compute = os.environ.get("BENCH_COMPUTE", "int8").lower()
 
     cfg = config_for(model_name)
     params = init_params(cfg, jax.random.key(0))
+    if compute.startswith("int8"):
+        from sentiric_stt_whisper_service_tpu.models.whisper import encode_xa_kv_q
+        from sentiric_stt_whisper_service_tpu.ops.quant import quantize_params
+
+        params = jax.block_until_ready(quantize_params(params))
+        encode_xa_kv = encode_xa_kv_q  # noqa: F811 — quantized KV variant
     tok = fallback_tokenizer(cfg.n_vocab)
     ids = TokenIds.from_tokenizer(tok)
     sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, tok.non_speech_tokens))

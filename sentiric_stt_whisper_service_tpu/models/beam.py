@@ -24,17 +24,16 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .sampling import NEG_INF, DecodeResult, TokenIds, apply_timestamp_rules
+from .sampling import (
+    NEG_INF,
+    DecodeResult,
+    TokenIds,
+    apply_timestamp_rules,
+    prompt_bucket,
+)
 from .whisper import WhisperConfig, decoder_apply, init_kv_cache
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "ids", "sample_begin", "sot_index", "beam_size", "max_len",
-        "use_timestamps",
-    ),
-)
 def decode_window_beam(
     cfg: WhisperConfig,
     params,
@@ -47,13 +46,46 @@ def decode_window_beam(
     beam_size: int = 5,
     max_len: Optional[int] = None,
     use_timestamps: bool = True,
+    prefill_len: Optional[int] = None,
 ) -> DecodeResult:
     """Beam-search decode; returns the best hypothesis per batch item with
-    the same DecodeResult contract as greedy ``decode_window``."""
+    the same DecodeResult contract as greedy ``decode_window``.
+
+    Prompt lengths are bucketed like ``decode_window``: ``sample_begin`` /
+    ``sot_index`` trace, ``prefill_len`` is the static shape class."""
+    if prefill_len is None:
+        prefill_len = prompt_bucket(int(sample_begin))
+    max_len = max_len or cfg.n_text_ctx
+    return _decode_window_beam_impl(
+        cfg, params, xa_kv, tokens_init,
+        jnp.asarray(sample_begin, jnp.int32), jnp.asarray(sot_index, jnp.int32),
+        ids, suppress_mask, beam_size, max_len, use_timestamps, prefill_len,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "ids", "beam_size", "max_len", "use_timestamps", "prefill_len",
+    ),
+)
+def _decode_window_beam_impl(
+    cfg: WhisperConfig,
+    params,
+    xa_kv: dict,
+    tokens_init: jnp.ndarray,
+    sample_begin: jnp.ndarray,  # traced scalar
+    sot_index: jnp.ndarray,  # traced scalar
+    ids: TokenIds,
+    suppress_mask: jnp.ndarray,
+    beam_size: int,
+    max_len: int,
+    use_timestamps: bool,
+    prefill_len: int,
+) -> DecodeResult:
     B, ctx = tokens_init.shape
     K = beam_size
     BK = B * K
-    max_len = max_len or ctx
     cache_len = min(ctx, -(-max_len // 64) * 64)
 
     def tile_beams(x, axis):
@@ -65,7 +97,7 @@ def decode_window_beam(
     kv = init_kv_cache(cfg, BK, cache_len)
 
     prefill_logits, kv, _ = decoder_apply(
-        cfg, params, tokens[:, :sample_begin], jnp.int32(0), kv, xa_kv_bk
+        cfg, params, tokens[:, :prefill_len], jnp.int32(0), kv, xa_kv_bk
     )
     probs_at_sot = jax.nn.softmax(prefill_logits[:, sot_index], axis=-1)
     no_speech_probs = probs_at_sot[::K, ids.no_speech]  # [B]
@@ -140,11 +172,13 @@ def decode_window_beam(
     state = (
         tokens,
         kv,
-        jnp.int32(sample_begin),
+        sample_begin,
         jnp.zeros((BK,), bool),
         jnp.zeros((BK,), jnp.float32),
         jnp.zeros((BK, ctx), jnp.float32),
-        prefill_logits[:, -1],
+        jax.lax.dynamic_slice_in_dim(
+            prefill_logits, sample_begin - 1, 1, axis=1
+        )[:, 0],
     )
     tokens, kv, pos, done, sum_lp, tok_lps, _ = jax.lax.while_loop(
         cond_fn, step_fn, state

@@ -175,6 +175,21 @@ def apply_timestamp_rules(
     return logits
 
 
+# Prompt lengths are bucketed so XLA compiles a handful of prefill shapes
+# instead of one per distinct carried-prompt length (prompt carry-over makes
+# lengths effectively unique per window; a fresh large-v3 compile costs
+# tens of seconds). 232 covers [sot_prev] + 223 carried + sot sequence.
+PROMPT_BUCKETS = (4, 8, 16, 32, 64, 128, 232)
+
+
+def prompt_bucket(n: int) -> int:
+    """Smallest bucket ≥ n (prompt prefill shape class)."""
+    for b in PROMPT_BUCKETS:
+        if n <= b:
+            return b
+    return PROMPT_BUCKETS[-1]
+
+
 class DecodeResult(NamedTuple):
     tokens: jnp.ndarray  # [B, ctx] int32, full buffer incl. prompt
     lengths: jnp.ndarray  # [B] int32: total tokens written (incl. prompt+EOT)
@@ -197,7 +212,9 @@ def detect_language(
 
     Returns [B, n_langs] probabilities (whisper's detect_language;
     SURVEY.md §2.3 'language auto-detect')."""
-    B = xa_kv["k"].shape[1]
+    from .whisper import xa_batch_size
+
+    B = xa_batch_size(xa_kv)
     kv = init_kv_cache(cfg, B, 64)
     tokens = jnp.full((B, 1), sot, jnp.int32)
     logits, _, _ = decoder_apply(cfg, params, tokens, jnp.int32(0), kv, xa_kv)
@@ -210,7 +227,7 @@ def detect_language(
 def decode_window_best_of(
     cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
     suppress_mask, temperature, rng, best_of: int = 5, max_len=None,
-    use_timestamps: bool = True,
+    use_timestamps: bool = True, prefill_len=None,
 ) -> "DecodeResult":
     """best_of independent samples per item (temperature > 0), winner by avg
     logprob — openai-whisper's n_group sampling, batched as [B*G]."""
@@ -223,7 +240,7 @@ def decode_window_best_of(
     res = decode_window(
         cfg, params, xa_kv_g, tiled, sample_begin, sot_index, ids,
         suppress_mask, temperature, rng, max_len=max_len,
-        use_timestamps=use_timestamps,
+        use_timestamps=use_timestamps, prefill_len=prefill_len,
     )
     best = jnp.argmax(res.avg_logprobs.reshape(B, G), axis=1)
     sel = jnp.arange(B) * G + best
@@ -237,10 +254,6 @@ def decode_window_best_of(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "ids", "sample_begin", "sot_index", "max_len", "use_timestamps"),
-)
 def decode_window(
     cfg: WhisperConfig,
     params,
@@ -254,20 +267,57 @@ def decode_window(
     rng: jax.Array,
     max_len: Optional[int] = None,
     use_timestamps: bool = True,
+    prefill_len: Optional[int] = None,
 ) -> DecodeResult:
-    """Decode one batch of 30 s windows to EOT, fully on device."""
+    """Decode one batch of 30 s windows to EOT, fully on device.
+
+    ``sample_begin``/``sot_index`` are traced: one compiled executable per
+    (batch, prefill bucket, max_len) shape class serves every prompt
+    length. ``prefill_len`` is the static bucket (default: the prompt
+    bucket of ``sample_begin``); positions in [sample_begin, prefill_len)
+    hold EOT padding whose K/V entries are never attended — each decode
+    step overwrites its cache slot before reading it."""
+    if prefill_len is None:
+        prefill_len = prompt_bucket(int(sample_begin))
+    max_len = max_len or cfg.n_text_ctx
+    return _decode_window_impl(
+        cfg, params, xa_kv, tokens_init,
+        jnp.asarray(sample_begin, jnp.int32), jnp.asarray(sot_index, jnp.int32),
+        ids, suppress_mask, temperature, rng, max_len, use_timestamps,
+        prefill_len,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "ids", "max_len", "use_timestamps", "prefill_len"),
+)
+def _decode_window_impl(
+    cfg: WhisperConfig,
+    params,
+    xa_kv: dict,
+    tokens_init: jnp.ndarray,
+    sample_begin: jnp.ndarray,  # traced scalar int32
+    sot_index: jnp.ndarray,  # traced scalar int32
+    ids: TokenIds,
+    suppress_mask: jnp.ndarray,
+    temperature: jnp.ndarray,
+    rng: jax.Array,
+    max_len: int,
+    use_timestamps: bool,
+    prefill_len: int,
+) -> DecodeResult:
     B = tokens_init.shape[0]
     ctx = cfg.n_text_ctx
-    max_len = max_len or ctx
     # Right-size the self-attention KV slab: every decode step reads the
     # whole slab from HBM, so a 448-slot slab for a 140-token decode would
     # triple that traffic.
     cache_len = min(ctx, -(-max_len // 64) * 64)
     kv = init_kv_cache(cfg, B, cache_len)
 
-    # --- prefill the prompt ---
+    # --- prefill the prompt (bucketed static length; tail is EOT pad) ---
     prefill_logits, kv, _ = decoder_apply(
-        cfg, params, tokens_init[:, :sample_begin], jnp.int32(0), kv, xa_kv
+        cfg, params, tokens_init[:, :prefill_len], jnp.int32(0), kv, xa_kv
     )
     probs_at_sot = jax.nn.softmax(prefill_logits[:, sot_index], axis=-1)
     no_speech_probs = probs_at_sot[:, ids.no_speech]
@@ -321,12 +371,16 @@ def decode_window(
     state = (
         tokens_init,
         kv,
-        jnp.int32(sample_begin),
+        sample_begin,
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.float32),
         jnp.zeros((B, ctx), jnp.float32),
         rng,
-        prefill_logits[:, -1],
+        # logits after the last REAL prompt token (dynamic: the bucketed
+        # prefill's trailing positions are padding).
+        jax.lax.dynamic_slice_in_dim(
+            prefill_logits, sample_begin - 1, 1, axis=1
+        )[:, 0],
     )
     tokens, kv, pos, done, sum_lp, tok_lps, _, _ = jax.lax.while_loop(
         cond_fn, step_fn, state

@@ -119,6 +119,14 @@ def token_boundaries(
     return bounds
 
 
+def align_bucket(n: int) -> int:
+    """Sequence-length shape class for the alignment pass (multiples of 32):
+    bounds XLA recompiles to ~14 executables instead of one per distinct
+    token count. Padding rows are causal-masked garbage, sliced off before
+    the DTW."""
+    return max(32, -(-n // 32) * 32)
+
+
 def compute_token_times(
     cfg: WhisperConfig,
     params,
@@ -129,9 +137,12 @@ def compute_token_times(
 ) -> np.ndarray:
     """[n_sampled, 2] start/end seconds for the sampled tokens of one
     window (B=1 path used by the engine)."""
-    toks = jnp.asarray(full_tokens[None], jnp.int32)
+    T = len(full_tokens)
+    padded = np.zeros((align_bucket(T),), np.int64)
+    padded[:T] = full_tokens
+    toks = jnp.asarray(padded[None], jnp.int32)
     scores = np.asarray(alignment_scores(cfg, params, xa_kv, toks))[0]
-    sampled_scores = scores[sample_begin:]
+    sampled_scores = scores[sample_begin:T]
     if sampled_scores.shape[0] == 0:
         return np.zeros((0, 2))
     return token_boundaries(sampled_scores, n_audio_frames)

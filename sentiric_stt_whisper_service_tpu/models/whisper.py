@@ -227,10 +227,48 @@ def layer_norm(x, p, eps=1e-5):
 
 
 def dense(x, p):
-    y = x @ p["w"]
+    """Dense layer; dispatches on weight-only int8 params (ops/quant.py).
+
+    The int8 path converts the weight inside the matmul's operand fusion —
+    the int8 bytes are what crosses HBM (the whole point on the
+    bandwidth-bound decode path) — and applies the per-output-channel scale
+    in the f32 epilogue before casting back to the activation dtype."""
+    if "w_q" in p:
+        y = jnp.dot(
+            x, p["w_q"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        y = (y * p["scale"]).astype(x.dtype)
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def embed_tokens(dec: Params, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Token-embedding gather, int8-aware (per-row scales)."""
+    if "tok_emb_q" in dec:
+        rows = dec["tok_emb_q"][tokens].astype(jnp.float32)
+        return rows * dec["tok_emb_scale"][tokens][..., None]
+    return dec["tok_emb"][tokens]
+
+
+def tied_logits(x: jnp.ndarray, dec: Params) -> jnp.ndarray:
+    """Logits against the (possibly int8) tied token embedding.
+
+    x [..., T, d] → [..., T, V] fp32. With int8 the embedding is the single
+    biggest weight read of a decode step (133 MB bf16 for large-v3)."""
+    if "tok_emb_q" in dec:
+        logits = jnp.einsum(
+            "...td,vd->...tv",
+            x,
+            dec["tok_emb_q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * dec["tok_emb_scale"]
+    return jnp.einsum(
+        "...td,vd->...tv", x, dec["tok_emb"], preferred_element_type=jnp.float32
+    )
 
 
 def _split_heads(x, n_head):
@@ -386,6 +424,41 @@ def _attend(q, k, v, mask=None):
     return out.astype(v.dtype), w
 
 
+def xa_batch_size(xa_kv: dict) -> int:
+    """Batch dim of a cross-attention KV dict (bf16 or int8 format)."""
+    leaf = xa_kv["k_q"] if "k_q" in xa_kv else xa_kv["k"]
+    return leaf.shape[1]
+
+
+def _attend_xa(q, xa: dict, scale):
+    """Cross-attention against one layer's audio K/V, int8-aware.
+
+    q [B,H,T,c]; xa holds either {"k","v"} [B,H,F,c] (bf16) or
+    {"k_q","v_q" int8, "k_scale","v_scale" f32 [B,H,F]} (ops/quant.py).
+    The quantized path never materializes a bf16 copy of the slab: the
+    per-position k_scale multiplies the score matrix after the q·k
+    contraction and v_scale folds into the softmax weights before the
+    values contraction. Returns (out [B,H,T,c], weights fp32 [B,H,T,F])."""
+    if "k_q" not in xa:
+        return _attend(q * scale, xa["k"] * scale, xa["v"])
+    scores = jax.lax.dot_general(
+        q,
+        xa["k_q"].astype(q.dtype),
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # [B,H,T,F]
+    scores = scores * (xa["k_scale"] * (scale * scale))[:, :, None, :]
+    w = jax.nn.softmax(scores, axis=-1)
+    wv = (w * xa["v_scale"][:, :, None, :]).astype(q.dtype)
+    out = jax.lax.dot_general(
+        wv,
+        xa["v_q"].astype(q.dtype),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype), w
+
+
 def decoder_apply(
     cfg: WhisperConfig,
     params: Params,
@@ -407,7 +480,7 @@ def decoder_apply(
     h = cfg.n_text_head
     ctx = cfg.n_text_ctx
 
-    x = dec["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(
+    x = embed_tokens(dec, tokens) + jax.lax.dynamic_slice_in_dim(
         dec["pos_emb"], pos_offset, T, axis=0
     )
     x = x.astype(cfg.dtype)
@@ -426,7 +499,7 @@ def decoder_apply(
 
     def block(carry, inputs):
         hx = carry
-        layer, k_cache, v_cache, xa_k, xa_v = inputs
+        layer, k_cache, v_cache, xa = inputs
 
         # -- causal self-attention over the cache slab
         y = layer_norm(hx, layer["attn_ln"])
@@ -442,7 +515,7 @@ def decoder_apply(
         # -- cross-attention against precomputed audio K/V
         y = layer_norm(hx, layer["cross_attn_ln"])
         q = to_heads(dense(y, layer["cross_attn"]["q"]))
-        ca, w = _attend(q * scale, xa_k * scale, xa_v)
+        ca, w = _attend_xa(q, xa, scale)
         ca = ca.transpose(0, 2, 1, 3).reshape(B, T, d)
         hx = hx + dense(ca, layer["cross_attn"]["o"])
 
@@ -454,12 +527,10 @@ def decoder_apply(
     x, (new_k, new_v, cross_w) = jax.lax.scan(
         block,
         x,
-        (dec["blocks"], kv_cache["k"], kv_cache["v"], xa_kv["k"], xa_kv["v"]),
+        (dec["blocks"], kv_cache["k"], kv_cache["v"], xa_kv),
     )
     x = layer_norm(x, dec["ln"])
-    logits = jnp.einsum(
-        "btd,vd->btv", x, dec["tok_emb"], preferred_element_type=jnp.float32
-    )
+    logits = tied_logits(x, dec)
     return logits, {"k": new_k, "v": new_v}, cross_w
 
 
@@ -484,7 +555,7 @@ def decoder_step(
     cache_len = kv_cache["k"].shape[3]
     scale = (d // h) ** -0.25
 
-    x = dec["tok_emb"][tokens] + dec["pos_emb"][pos]  # [S, d]
+    x = embed_tokens(dec, tokens) + dec["pos_emb"][pos]  # [S, d]
     x = x[:, None, :].astype(cfg.dtype)  # [S, 1, d]
 
     kpos = jnp.arange(cache_len)[None, :]
@@ -498,7 +569,7 @@ def decoder_step(
 
     def block(carry, inputs):
         hx = carry
-        layer, k_cache, v_cache, xa_k, xa_v = inputs
+        layer, k_cache, v_cache, xa = inputs
         y = layer_norm(hx, layer["attn_ln"])
 
         def heads(z):  # [S,1,d] → [S,H,1,hd]
@@ -512,19 +583,17 @@ def decoder_step(
 
         y = layer_norm(hx, layer["cross_attn_ln"])
         q = heads(dense(y, layer["cross_attn"]["q"]))
-        ca, _ = _attend(q * scale, xa_k * scale, xa_v)
+        ca, _ = _attend_xa(q, xa, scale)
         hx = hx + dense(ca.transpose(0, 2, 1, 3).reshape(S, 1, d), layer["cross_attn"]["o"])
 
         hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
         return hx, (k_cache, v_cache)
 
     x, (new_k, new_v) = jax.lax.scan(
-        block, x, (dec["blocks"], kv_cache["k"], kv_cache["v"], xa_kv["k"], xa_kv["v"])
+        block, x, (dec["blocks"], kv_cache["k"], kv_cache["v"], xa_kv)
     )
     x = layer_norm(x, dec["ln"])
-    logits = jnp.einsum(
-        "std,vd->stv", x, dec["tok_emb"], preferred_element_type=jnp.float32
-    )[:, 0]
+    logits = tied_logits(x, dec)[:, 0]
     return logits, {"k": new_k, "v": new_v}
 
 
@@ -543,3 +612,16 @@ encode_xa_kv = jax.jit(
     static_argnums=0,
 )
 """Jitted encoder + cross-attention K/V precompute in one fused call."""
+
+
+def _encode_xa_kv_q(cfg, params, mel):
+    from ..ops.quant import quantize_xa_kv
+
+    return quantize_xa_kv(
+        precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel))
+    )
+
+
+encode_xa_kv_q = jax.jit(_encode_xa_kv_q, static_argnums=0)
+"""Jitted encoder + int8-quantized cross-attention K/V (compute_type=int8):
+the slab every decode step streams from HBM is half the bytes."""

@@ -1,0 +1,132 @@
+"""Weight-only int8 quantization for the decode path.
+
+The reference's default ``compute_type`` is int8 (whisper.cpp GGML quantized
+checkpoints; the service downloads ``ggml-{size}.bin`` which ships q5/q8
+variants — /root/reference/src/config.h:18-21). The TPU rebuild quantizes at
+load time instead: checkpoints are dequantized to fp32 by the GGML parser,
+then re-quantized here into a TPU-friendly layout.
+
+Why weight-only int8 wins on TPU: autoregressive decode is HBM-bandwidth
+bound — every step streams the full decoder (≈1.6 GB for large-v3 in bf16)
+plus the cross-attention K/V (≈1 GB at batch 8) from HBM for a few MFLOPs of
+work. Halving the bytes halves the step-time floor. Activations stay bf16:
+the int8→bf16 convert fuses into the matmul's operand load (XLA operand
+fusion), so the MXU still runs its native bf16 pipeline and accuracy loss is
+limited to the ~0.4 % per-channel rounding error of the weights.
+
+Layouts:
+  * dense  ``{"w": [.., d_in, d_out]}`` → ``{"w_q": int8, "scale": f32
+    [.., d_out]}`` — symmetric, per-output-channel (axis ``-2`` reduced).
+  * embedding ``[V, d]`` → int8 + per-row scale ``[V]`` (works for both the
+    gather and the tied logits matmul: ``logits[v] = (x · emb_q[v])·s[v]``).
+  * cross-KV ``[L, B, H, 1500, hd]`` → int8 + per-position scale
+    ``[L, B, H, 1500]`` (reduced over ``hd``); scores/values dequantize by
+    folding the scale into the attention weights, never materializing a
+    bf16 copy of the slab.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = -2):
+    """Symmetric int8 quantization reducing over ``axis``.
+
+    Returns (w_q int8, scale f32 with ``axis`` removed)."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=axis)
+    scale = jnp.maximum(amax / 127.0, _EPS)
+    w_q = jnp.clip(
+        jnp.round(w32 / jnp.expand_dims(scale, axis)), -127, 127
+    ).astype(jnp.int8)
+    return w_q, scale
+
+
+def dequantize_weight(w_q: jnp.ndarray, scale: jnp.ndarray, axis: int = -2,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    return (w_q.astype(jnp.float32) * jnp.expand_dims(scale, axis)).astype(dtype)
+
+
+def _quantize_dense(p: dict) -> dict:
+    w_q, scale = quantize_weight(p["w"], axis=-2)
+    out = {"w_q": w_q, "scale": scale}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def _quantize_blocks(blocks: dict) -> dict:
+    """Quantize every dense leaf ({"w": ...} dict) inside a blocks pytree;
+    layer norms ({"g","b"}) and anything without "w" pass through."""
+    out = {}
+    for name, sub in blocks.items():
+        if isinstance(sub, dict):
+            if "w" in sub:
+                out[name] = _quantize_dense(sub)
+            else:
+                out[name] = _quantize_blocks(sub)
+        else:
+            out[name] = sub
+    return out
+
+
+def quantize_params(params: Any, encoder: bool = True,
+                    embedding: bool = True) -> Any:
+    """Quantize a Whisper param pytree to weight-only int8.
+
+    Transformer-block dense weights (and optionally the token embedding)
+    become int8; conv stems, positional embeddings, and layer norms stay in
+    their original dtype (they are a rounding error of total bytes).
+    ``models.whisper.dense`` dispatches on the presence of ``"w_q"``.
+    """
+    enc = dict(params["encoder"])
+    dec = dict(params["decoder"])
+    if encoder:
+        enc["blocks"] = _quantize_blocks(enc["blocks"])
+    dec["blocks"] = _quantize_blocks(dec["blocks"])
+    if embedding:
+        emb_q, emb_scale = quantize_weight(dec["tok_emb"], axis=-1)
+        del dec["tok_emb"]
+        dec["tok_emb_q"] = emb_q
+        dec["tok_emb_scale"] = emb_scale
+    return {"encoder": enc, "decoder": dec}
+
+
+def is_quantized(params: Any) -> bool:
+    dec = params.get("decoder", {})
+    blocks = dec.get("blocks", {})
+    return "tok_emb_q" in dec or any(
+        isinstance(v, dict) and ("w_q" in v or any(
+            isinstance(vv, dict) and "w_q" in vv for vv in v.values()
+        ))
+        for v in blocks.values()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-attention KV quantization
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def quantize_xa_kv(xa_kv: dict) -> dict:
+    """Quantize a cross-attention KV dict ``{"k","v"}: [L,B,H,T,hd]`` to
+    ``{"k_q","v_q": int8, "k_scale","v_scale": f32 [L,B,H,T]}``.
+
+    Per-position scales keep the attention math exact up to 1/127 rounding:
+    scores pick up ``k_scale`` after the q·k contraction; ``v_scale`` folds
+    into the softmax weights before the values contraction (see
+    ``models.whisper._attend_quantized``)."""
+    k_q, k_scale = quantize_weight(xa_kv["k"], axis=-1)
+    v_q, v_scale = quantize_weight(xa_kv["v"], axis=-1)
+    return {"k_q": k_q, "k_scale": k_scale, "v_q": v_q, "v_scale": v_scale}
+
+
+def is_quantized_kv(xa_kv: dict) -> bool:
+    return "k_q" in xa_kv

@@ -86,6 +86,7 @@ class ContinuousBatcher:
         max_slots: int = 8,
         cache_len: int = 256,
         steps_per_sync: int = 4,
+        quantize_kv: bool = False,
     ):
         self.cfg = cfg
         self.params = params
@@ -94,6 +95,9 @@ class ContinuousBatcher:
         self.S = max_slots
         self.cache_len = cache_len
         self.steps_per_sync = steps_per_sync
+        # int8 cross-attention K/V slabs (compute_type=int8): halves the
+        # dominant HBM read of every decode step (ops/quant.py).
+        self.quantize_kv = quantize_kv
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slot_req: list[Optional[_Request]] = [None] * max_slots
         self._state = self._init_state()
@@ -111,6 +115,18 @@ class ContinuousBatcher:
         xa_shape = (
             cfg.n_text_layer, S, cfg.n_text_head, cfg.n_audio_ctx, hd,
         )
+        if self.quantize_kv:
+            xa_zero = {
+                "k_q": jnp.zeros(xa_shape, jnp.int8),
+                "k_scale": jnp.zeros(xa_shape[:-1], jnp.float32),
+                "v_q": jnp.zeros(xa_shape, jnp.int8),
+                "v_scale": jnp.zeros(xa_shape[:-1], jnp.float32),
+            }
+        else:
+            xa_zero = {
+                "k": jnp.zeros(xa_shape, cfg.dtype),
+                "v": jnp.zeros(xa_shape, cfg.dtype),
+            }
         return BatchState(
             tokens=jnp.full((S, cfg.n_text_ctx), self.ids.eot, jnp.int32),
             pos=jnp.zeros((S,), jnp.int32),
@@ -121,10 +137,7 @@ class ContinuousBatcher:
             tok_lps=jnp.zeros((S, cfg.n_text_ctx), jnp.float32),
             no_speech=jnp.zeros((S,), jnp.float32),
             kv=init_kv_cache(cfg, S, self.cache_len),
-            xa_kv={
-                "k": jnp.zeros(xa_shape, cfg.dtype),
-                "v": jnp.zeros(xa_shape, cfg.dtype),
-            },
+            xa_kv=xa_zero,
             last_logits=jnp.zeros((S, cfg.n_vocab), jnp.float32),
         )
 
@@ -181,21 +194,28 @@ class ContinuousBatcher:
     # Jitted device ops
     # ------------------------------------------------------------------
     def _encode(self, mel: jnp.ndarray) -> dict:
+        if self.quantize_kv:
+            return _encode_q_op(self.cfg, self.params, mel)
         return _encode_op(self.cfg, self.params, mel)
     def _insert_slot(
         self,
         state: BatchState,
         slot: jnp.ndarray,  # scalar int32
         xa_kv1: dict,  # [L, 1, H, 1500, hd]
-        prompt: jnp.ndarray,  # [1, n_prompt] int32
+        prompt: jnp.ndarray,  # [1, prompt_len] int32, EOT-padded to a bucket
         n_prompt: int,
         sot_index: jnp.ndarray,  # scalar
         max_len: jnp.ndarray,  # scalar
     ) -> BatchState:
-        """Prefill one window's prompt and install it into ``slot``."""
+        """Prefill one window's prompt and install it into ``slot``.
+
+        The prompt buffer length is a static bucket; the real length
+        ``n_prompt`` traces, so prompt-carry-over windows of every length
+        share a handful of compiled prefills."""
         return _insert_slot_op(
-            self.cfg, self.ids, self.cache_len, n_prompt, self.params,
-            state, slot, xa_kv1, prompt, sot_index, max_len,
+            self.cfg, self.ids, self.cache_len, int(prompt.shape[1]),
+            self.params, state, slot, xa_kv1, prompt,
+            jnp.int32(n_prompt), sot_index, max_len,
         )
 
 
@@ -238,15 +258,18 @@ class ContinuousBatcher:
                         req.audio[None], n_mels=cfg.n_mels, dtype=cfg.dtype
                     )
                     xa_kv1 = self._encode(mel)
-                prompt = jnp.asarray(
-                    np.asarray(req.init_tokens, np.int32)[None]
-                )
+                from ..models.sampling import prompt_bucket
+
+                n_prompt = len(req.init_tokens)
+                bucket = prompt_bucket(n_prompt)
+                padded = np.full((1, bucket), self.ids.eot, np.int32)
+                padded[0, :n_prompt] = req.init_tokens
                 self._state = self._insert_slot(
                     self._state,
                     jnp.int32(slot),
                     xa_kv1,
-                    prompt,
-                    len(req.init_tokens),
+                    jnp.asarray(padded),
+                    n_prompt,
                     jnp.int32(req.sot_index),
                     jnp.int32(
                         min(
@@ -316,12 +339,19 @@ def _encode_op(cfg, params, mel):
     return precompute_xa_kv(cfg, params, xa)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_q_op(cfg, params, mel):
+    from ..ops.quant import quantize_xa_kv
+
+    return quantize_xa_kv(precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel)))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "ids", "cache_len", "n_prompt")
+    jax.jit, static_argnames=("cfg", "ids", "cache_len", "prompt_len")
 )
 def _insert_slot_op(
-    cfg, ids, cache_len, n_prompt, params, state, slot, xa_kv1, prompt,
-    sot_index, max_len,
+    cfg, ids, cache_len, prompt_len, params, state, slot, xa_kv1, prompt,
+    n_prompt, sot_index, max_len,
 ):
     if True:
         kv1 = init_kv_cache(cfg, 1, cache_len)
@@ -336,15 +366,15 @@ def _insert_slot_op(
                 dst, src.astype(dst.dtype), slot, axis=0
             )
 
-        tokens = put(
-            state.tokens,
-            jnp.concatenate(
-                [
-                    prompt[0],
-                    jnp.full((cfg.n_text_ctx - n_prompt,), ids.eot, jnp.int32),
-                ]
-            )[None],
-        )
+        # prompt is already EOT-padded to prompt_len; pad the rest of the
+        # token buffer with EOT too (static shapes, real length = n_prompt).
+        row = jnp.concatenate(
+            [
+                prompt[0],
+                jnp.full((cfg.n_text_ctx - prompt_len,), ids.eot, jnp.int32),
+            ]
+        )[None]
+        tokens = put(state.tokens, row)
         kv = {
             k: jax.lax.dynamic_update_slice_in_dim(
                 state.kv[k], kv1[k], slot, axis=1
@@ -355,21 +385,24 @@ def _insert_slot_op(
             k: jax.lax.dynamic_update_slice_in_dim(
                 state.xa_kv[k], xa_kv1[k], slot, axis=1
             )
-            for k in ("k", "v")
+            for k in state.xa_kv
         }
         put1 = lambda dst, val: dst.at[slot].set(val)
         return BatchState(
             tokens=tokens,
-            pos=put1(state.pos, jnp.int32(n_prompt)),
+            pos=put1(state.pos, n_prompt),
             done=put1(state.done, False),
-            sample_begin=put1(state.sample_begin, jnp.int32(n_prompt)),
+            sample_begin=put1(state.sample_begin, n_prompt),
             max_len=put1(state.max_len, max_len),
             sum_lp=put1(state.sum_lp, 0.0),
             tok_lps=put(state.tok_lps, jnp.zeros((1, cfg.n_text_ctx))),
             no_speech=put1(state.no_speech, nsp),
             kv=kv,
             xa_kv=xa_kv,
-            last_logits=put(state.last_logits, logits[:, -1]),
+            last_logits=put(
+                state.last_logits,
+                jax.lax.dynamic_slice_in_dim(logits, n_prompt - 1, 1, axis=1)[:, 0],
+            ),
         )
 
 @functools.partial(jax.jit, static_argnames=("cfg", "ids", "n_steps"))

@@ -149,6 +149,15 @@ class SttEngine:
                 from ..checkpoint import load_checkpoint
 
                 params, tokenizer = load_checkpoint(settings, self.cfg)
+        # compute_type=int8 (the reference's default, config.h:45): weights
+        # and cross-attention K/V become weight-only int8 (ops/quant.py) —
+        # the decode path is HBM-bound, so this nearly halves step time.
+        self.quantized = settings.compute_type.strip().lower().startswith("int8")
+        if self.quantized:
+            from ..ops.quant import is_quantized, quantize_params
+
+            if not is_quantized(params):
+                params = quantize_params(params)
         self.params = params
         self.tokenizer = tokenizer or fallback_tokenizer(self.cfg.n_vocab)
         self.ids = TokenIds.from_tokenizer(self.tokenizer)
@@ -180,6 +189,7 @@ class SttEngine:
                     self.suppress_mask,
                     max_slots=max(2, self.settings.max_batch_size),
                     cache_len=256,
+                    quantize_kv=self.quantized,
                 )
             return self._batcher
 
@@ -209,6 +219,14 @@ class SttEngine:
         with self._rng_lock:
             self._rng, sub = jax.random.split(self._rng)
             return sub
+
+    def _encode_window(self, mel):
+        """Encoder + cross-attention K/V, int8 when compute_type=int8."""
+        if self.quantized:
+            from ..models.whisper import encode_xa_kv_q
+
+            return encode_xa_kv_q(self.cfg, self.params, mel)
+        return encode_xa_kv(self.cfg, self.params, mel)
 
     # ------------------------------------------------------------------
     def transcribe_pcm16(
@@ -298,7 +316,7 @@ class SttEngine:
         n = min(audio.shape[0], N_SAMPLES)
         window[:n] = audio[:n]
         mel = compute_log_mel(window[None], n_mels=self.cfg.n_mels, dtype=self.cfg.dtype)
-        xa_kv = encode_xa_kv(self.cfg, self.params, mel)
+        xa_kv = self._encode_window(mel)
         sp = self.tokenizer.special
         probs = detect_language(
             self.cfg, self.params, xa_kv, sp.sot, sp.language_begin, sp.num_languages
@@ -317,11 +335,16 @@ class SttEngine:
         should_abort=None,
     ):
         """One decode attempt at one temperature for a single window."""
+        from ..models.sampling import prompt_bucket
+
         ctx = self.cfg.n_text_ctx
         tinit = np.full((1, ctx), self.ids.eot, np.int32)
         tinit[0, : len(init_tokens)] = init_tokens
         tinit = jnp.asarray(tinit)
-        max_len = min(ctx, sample_begin + SAMPLE_LEN)
+        # Bucketed shapes: one compiled decode per (prefill bucket) class
+        # instead of one per carried-prompt length.
+        prefill_len = prompt_bucket(sample_begin)
+        max_len = min(ctx, prefill_len + SAMPLE_LEN)
         if (
             temperature <= 0.0
             and beam_size <= 1
@@ -358,18 +381,20 @@ class SttEngine:
         if temperature <= 0.0 and beam_size > 1:
             return decode_window_beam(
                 self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
-                self.ids, self.suppress_mask, beam_size=beam_size, max_len=max_len,
+                self.ids, self.suppress_mask, beam_size=beam_size,
+                max_len=max_len, prefill_len=prefill_len,
             )
         if temperature > 0.0 and best_of > 1:
             return decode_window_best_of(
                 self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
                 self.ids, self.suppress_mask, jnp.float32(temperature),
                 self._next_rng(), best_of=best_of, max_len=max_len,
+                prefill_len=prefill_len,
             )
         return decode_window(
             self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
             self.ids, self.suppress_mask, jnp.float32(temperature),
-            self._next_rng(), max_len=max_len,
+            self._next_rng(), max_len=max_len, prefill_len=prefill_len,
         )
 
     def _transcribe_longform(
@@ -421,7 +446,7 @@ class SttEngine:
             mel = compute_log_mel(
                 window[None], n_mels=cfg.n_mels, dtype=cfg.dtype
             )
-            xa_kv = encode_xa_kv(cfg, self.params, mel)
+            xa_kv = self._encode_window(mel)
 
             # Decoder preamble: [sot_prev + carried/prompt] [sot lang task].
             prefix = prompt_text_tokens + carried_tokens
@@ -607,11 +632,14 @@ class SttEngine:
         n = audio.shape[0]
         n_windows = -(-n // N_SAMPLES)
         group_size = max(1, s.max_batch_size)
+        from ..models.sampling import prompt_bucket
+
         init_tokens = tok.sot_sequence(
             language if cfg.is_multilingual else None, task
         )
         sample_begin = len(init_tokens)
-        max_len = min(cfg.n_text_ctx, sample_begin + SAMPLE_LEN)
+        prefill_len = prompt_bucket(sample_begin)
+        max_len = min(cfg.n_text_ctx, prefill_len + SAMPLE_LEN)
         results: list[TranscriptionResult] = []
 
         for g0 in range(0, n_windows, group_size):
@@ -627,7 +655,7 @@ class SttEngine:
                 durs_cs.append(int(round(remain / SAMPLE_RATE * 100)))
 
             mel = compute_log_mel(windows, n_mels=cfg.n_mels, dtype=cfg.dtype)
-            xa_kv = encode_xa_kv(cfg, self.params, mel)
+            xa_kv = self._encode_window(mel)
             tinit = np.full((W, cfg.n_text_ctx), ids.eot, np.int32)
             tinit[:, :sample_begin] = init_tokens
             tinit = jnp.asarray(tinit)
@@ -643,13 +671,15 @@ class SttEngine:
                 if t <= 0.0 and beam_size > 1:
                     res = decode_window_beam(
                         cfg, self.params, xa_kv, tinit, sample_begin, 0, ids,
-                        self.suppress_mask, beam_size=beam_size, max_len=max_len,
+                        self.suppress_mask, beam_size=beam_size,
+                        max_len=max_len, prefill_len=prefill_len,
                     )
                 else:
                     res = decode_window(
                         cfg, self.params, xa_kv, tinit, sample_begin, 0, ids,
                         self.suppress_mask, jnp.float32(max(t, 0.0)),
                         self._next_rng(), max_len=max_len,
+                        prefill_len=prefill_len,
                     )
                 toks_np = np.asarray(res.tokens)
                 lens_np = np.asarray(res.lengths)
@@ -688,19 +718,21 @@ class SttEngine:
                         token_boundaries,
                     )
 
+                    from ..models.timestamps import align_bucket
+
                     keys = sorted(accepted)
-                    t_max = max(len(accepted[j][0]) for j in keys)
+                    seqs = {
+                        j: [int(x) for x in accepted[j][0] if x != ids.eot]
+                        for j in keys
+                    }
+                    t_max = max(len(seqs[j]) for j in keys)
                     if t_max > 0:
-                        align = np.full(
-                            (len(keys), sample_begin + t_max), ids.eot, np.int64
-                        )
+                        width = align_bucket(sample_begin + t_max)
+                        align = np.full((len(keys), width), ids.eot, np.int64)
                         for r, j in enumerate(keys):
-                            seqj = [
-                                int(x) for x in accepted[j][0] if x != ids.eot
-                            ]
                             align[r, :sample_begin] = init_tokens
-                            align[r, sample_begin : sample_begin + len(seqj)] = seqj
-                        sel = {"k": xa_kv["k"][:, keys], "v": xa_kv["v"][:, keys]}
+                            align[r, sample_begin : sample_begin + len(seqs[j])] = seqs[j]
+                        sel = {kk: vv[:, keys] for kk, vv in xa_kv.items()}
                         scores = np.asarray(
                             alignment_scores(
                                 cfg, self.params, sel, jnp.asarray(align)
@@ -708,7 +740,7 @@ class SttEngine:
                         )
                         for r, j in enumerate(keys):
                             n_frames = max(1, int(durs_cs[j] / 2))
-                            sc = scores[r, sample_begin:]
+                            sc = scores[r, sample_begin : sample_begin + len(seqs[j])]
                             if sc.shape[0]:
                                 token_times[j] = token_boundaries(sc, n_frames)
                 except Exception:  # noqa: BLE001 — timestamps best-effort

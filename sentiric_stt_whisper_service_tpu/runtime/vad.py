@@ -2,14 +2,20 @@
 
 The reference runs a Silero VAD model through whisper.cpp
 (/root/reference/src/stt_engine.cpp:44-52,108-115) with threshold 0.75 and
-a 500 ms minimum speech duration (config.h:30-37). Zero-egress builds have
-no Silero weights, so the default implementation is an adaptive
-energy/spectral VAD with the same gating semantics: per-10 ms-frame speech
-probability in [0,1], speech detected iff some contiguous run of frames
-above ``threshold`` spans at least ``min_duration_ms``.
+a 500 ms minimum speech duration (config.h:30-37). Two backends:
 
-A Silero-architecture JAX model can be plugged in via
-``set_vad_model(fn)`` where ``fn(audio) -> [n_frames] probs``.
+  * Silero v5 in JAX (``models/silero_vad.py``) when a
+    ``ggml-silero-*.bin`` checkpoint is available — same architecture the
+    reference evaluates, but batched chunks + a ``lax.scan`` LSTM in one
+    jit call instead of whisper.cpp's per-chunk CPU loop.
+  * An adaptive energy/spectral VAD fallback with the same gating
+    semantics (zero-egress builds have no Silero weights): per-frame
+    speech probability in [0,1], speech detected iff a contiguous run of
+    frames above ``threshold`` spans ``min_duration_ms``.
+
+Install a model with ``set_vad_model(fn, frame_ms)`` where
+``fn(audio) -> [n_frames] probs``; ``load_silero(path)`` does this from a
+ggml checkpoint.
 """
 
 from __future__ import annotations
@@ -19,17 +25,43 @@ from typing import Callable, Optional
 import numpy as np
 
 _vad_model: Optional[Callable[[np.ndarray], np.ndarray]] = None
+_vad_frame_ms: float = 10.0
 
 
-def set_vad_model(fn: Optional[Callable[[np.ndarray], np.ndarray]]):
-    global _vad_model
+def set_vad_model(
+    fn: Optional[Callable[[np.ndarray], np.ndarray]], frame_ms: float = 10.0
+):
+    """Install a custom VAD (None = builtin energy VAD). ``frame_ms`` is
+    the duration of one element of the returned prob vector."""
+    global _vad_model, _vad_frame_ms
     _vad_model = fn
+    _vad_frame_ms = frame_ms if fn is not None else 10.0
+
+
+def load_silero(path: str) -> bool:
+    """Load a ggml-silero checkpoint as the VAD backend (the reference's
+    VAD model provisioning, model_manager.cpp:33-37). Returns True on
+    success; leaves the energy fallback in place on failure."""
+    try:
+        from ..models.silero_vad import SileroVad
+
+        model = SileroVad.from_ggml(path)
+        set_vad_model(model, frame_ms=model.frame_ms)
+        return True
+    except Exception:  # noqa: BLE001 — fall back to energy VAD
+        return False
 
 
 def frame_speech_probs(audio: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
-    """Per-10ms-frame speech probability (energy + spectral-shape based)."""
+    """Per-frame speech probability (10 ms frames for the builtin VAD;
+    the installed model's native frame size otherwise)."""
     if _vad_model is not None:
         return np.asarray(_vad_model(audio))
+    return _energy_probs(audio, sample_rate)
+
+
+def _energy_probs(audio: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Energy + spectral-shape speech probability per 10 ms frame."""
     shift = sample_rate // 100
     n_frames = len(audio) // shift
     if n_frames == 0:
@@ -57,16 +89,15 @@ def is_speech_detected(
     min_duration_ms: int = 500,
 ) -> bool:
     """True iff a contiguous run of frames above ``threshold`` spans
-    ``min_duration_ms`` (with 3 frames of hangover tolerance)."""
+    ``min_duration_ms`` (dips up to ~100 ms are bridged — Silero /
+    whisper.cpp min_silence_duration_ms semantics)."""
     probs = frame_speech_probs(np.asarray(audio, np.float32), sample_rate)
     if probs.size == 0:
         return False
+    frame_ms = _vad_frame_ms if _vad_model is not None else 10.0
     active = probs > threshold
-    # Accumulated speech within a voiced region; dips up to 100 ms are
-    # bridged (Silero/whisper.cpp min_silence_duration_ms default), matching
-    # how the reference's VAD treats amplitude-modulated speech.
-    need = max(1, int(round(min_duration_ms / 10)))
-    max_gap = 10  # frames = 100 ms
+    need = max(1, int(round(min_duration_ms / frame_ms)))
+    max_gap = max(1, int(round(100.0 / frame_ms)))
     run = 0
     gap = 0
     for a in active:

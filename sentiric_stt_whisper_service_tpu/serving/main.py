@@ -64,7 +64,19 @@ def serve(settings: Settings | None = None, random_init: bool = False, block=Tru
             try:
                 from ..checkpoint import ModelManager as _MM
 
-                _MM.ensure_vad_model(settings)
+                vad_path = _MM.ensure_vad_model(settings)
+                from ..runtime.vad import load_silero
+
+                if vad_path and load_silero(str(vad_path)):
+                    suts_info(
+                        "VAD_MODEL_READY", "", "", "",
+                        "Silero VAD loaded from %s", vad_path,
+                    )
+                else:
+                    suts_info(
+                        "VAD_FALLBACK", "", "", "",
+                        "Silero parse unavailable; using energy VAD",
+                    )
             except Exception as e:
                 suts_error(
                     "VAD_MODEL_PROVISION_FAILED", "", "", "",

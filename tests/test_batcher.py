@@ -89,6 +89,31 @@ def test_concurrent_submissions(setup, batcher):
     np.testing.assert_array_equal(r0["tokens"], results[1]["tokens"])
 
 
+def test_carried_prompt_matches_oneshot(setup, batcher):
+    """A non-bucket-size prompt (sot_prev + carried tokens) decodes
+    identically via the batcher's bucketed prefill and decode_window."""
+    cfg, params, tok, ids, sup = setup
+    window = make_window(3)
+    sot = tok.sot_sequence("en")
+    init = [ids.sot_prev, 500, 501, 502, 503] + list(sot)  # len 8? no: 5+3
+    sot_index = 5
+
+    fut = batcher.submit(window, init, sot_index, max_tokens=16)
+    got = fut.result(timeout=120)
+
+    mel = log_mel_spectrogram(window[None], n_mels=cfg.n_mels)
+    xa_kv = encode_xa_kv(cfg, params, mel)
+    tinit = np.full((1, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[0, : len(init)] = init
+    want = decode_window(
+        cfg, params, xa_kv, jnp.asarray(tinit), len(init), sot_index, ids, sup,
+        jnp.float32(0.0), jax.random.key(0), max_len=len(init) + 16,
+    )
+    want_seq = np.asarray(want.tokens[0])[len(init) : int(want.lengths[0])]
+    want_seq = want_seq[want_seq != ids.eot]
+    np.testing.assert_array_equal(got["tokens"], want_seq)
+
+
 def test_slot_recycling_beyond_capacity(setup, batcher):
     """More requests than slots — all must complete via recycling."""
     cfg, params, tok, ids, sup = setup
