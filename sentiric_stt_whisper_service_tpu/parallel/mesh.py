@@ -53,15 +53,25 @@ def _spec_for_path(path: str, ndim: int) -> P:
     """Partition spec from a param's tree path. Stacked block params carry a
     leading layer axis (never sharded)."""
     # Column-parallel: qkv projections + first MLP matmul → shard outputs.
-    if re.search(r"(attn|cross_attn)/(q|k|v)/w$", path) or path.endswith("mlp_1/w"):
+    # (w_q / per-output-channel scale are the int8 forms, ops/quant.py.)
+    if re.search(r"(attn|cross_attn)/(q|k|v)/w(_q)?$", path) or re.search(
+        r"mlp_1/w(_q)?$", path
+    ):
+        return P(*([None] * (ndim - 1) + ["tp"]))
+    if re.search(r"(attn|cross_attn)/(q|k|v)/scale$", path) or path.endswith(
+        "mlp_1/scale"
+    ):
         return P(*([None] * (ndim - 1) + ["tp"]))
     if re.search(r"(attn|cross_attn)/(q|v)/b$", path) or path.endswith("mlp_1/b"):
         return P(*([None] * (ndim - 1) + ["tp"]))
-    # Row-parallel: output projections + second MLP matmul → shard inputs.
-    if re.search(r"(attn|cross_attn)/o/w$", path) or path.endswith("mlp_2/w"):
+    # Row-parallel: output projections + second MLP matmul → shard inputs
+    # (their int8 scales are per-output-channel → replicated).
+    if re.search(r"(attn|cross_attn)/o/w(_q)?$", path) or re.search(
+        r"mlp_2/w(_q)?$", path
+    ):
         return P(*([None] * (ndim - 2) + ["tp", None]))
-    # Everything else (ln, conv, embeddings, biases of row-parallel mats)
-    # is replicated.
+    # Everything else (ln, conv, embeddings, biases of row-parallel mats,
+    # row-parallel scales) is replicated.
     return P()
 
 
@@ -94,9 +104,13 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def kv_cache_shardings(mesh: Mesh, cache: Any):
-    """KV slabs [L, B, H, ctx, hd] → (None, dp, tp, None, None)."""
+    """KV slabs [L, B, H, ctx, hd] → (None, dp, tp, None, None); int8
+    per-position scales [L, B, H, ctx] → (None, dp, tp, None)."""
     return jax.tree.map(
-        lambda x: NamedSharding(mesh, P(None, "dp", "tp", None, None)), cache
+        lambda x: NamedSharding(
+            mesh, P(*((None, "dp", "tp") + (None,) * (x.ndim - 3)))
+        ),
+        cache,
     )
 
 

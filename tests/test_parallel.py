@@ -74,6 +74,66 @@ def test_sharded_encoder_matches_single(setup, mesh_shape):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
+def test_quantized_param_sharding_specs(setup):
+    from sentiric_stt_whisper_service_tpu.ops.quant import quantize_params
+
+    cfg, params, _ = setup
+    mesh = make_mesh("2x4")
+    shardings = param_shardings(mesh, quantize_params(params))
+    P = jax.sharding.PartitionSpec
+    blocks = shardings["encoder"]["blocks"]
+    assert blocks["attn"]["q"]["w_q"].spec == P(None, None, "tp")
+    assert blocks["attn"]["q"]["scale"].spec == P(None, "tp")
+    assert blocks["attn"]["o"]["w_q"].spec == P(None, "tp", None)
+    assert blocks["attn"]["o"]["scale"].spec == P()  # per-output, replicated
+    assert blocks["mlp_1"]["w_q"].spec == P(None, None, "tp")
+    dec = shardings["decoder"]
+    assert dec["tok_emb_q"].spec == P()
+
+
+def test_sharded_quantized_decode_matches_single(setup):
+    """int8 weights + int8 cross-KV under (dp, tp): same tokens as the
+    single-device quantized decode."""
+    from sentiric_stt_whisper_service_tpu.models import (
+        TokenIds,
+        build_suppress_mask,
+        decode_window,
+        precompute_xa_kv,
+    )
+    from sentiric_stt_whisper_service_tpu.ops.quant import (
+        quantize_params,
+        quantize_xa_kv,
+    )
+    from sentiric_stt_whisper_service_tpu.parallel import xa_kv_shardings
+    from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
+
+    cfg, params, mel = setup
+    qparams = quantize_params(params)
+    tok = fallback_tokenizer()
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, ()))
+    sot = tok.sot_sequence("en")
+    tinit = np.full((4, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[:, : len(sot)] = sot
+    tinit = jnp.asarray(tinit)
+
+    def run(p, m):
+        xa_q = quantize_xa_kv(precompute_xa_kv(cfg, p, encoder_apply(cfg, p, m)))
+        return decode_window(
+            cfg, p, xa_q, tinit, len(sot), 0, ids, sup,
+            jnp.float32(0.0), jax.random.key(1), max_len=len(sot) + 12,
+        )
+
+    want = run(qparams, mel)
+
+    mesh = make_mesh("2x4")
+    with jax.set_mesh(mesh):
+        got = run(
+            shard_params(mesh, qparams), jax.device_put(mel, data_sharding(mesh, 3))
+        )
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(want.tokens))
+
+
 def test_sharded_decode_matches_single(setup):
     from sentiric_stt_whisper_service_tpu.models import (
         TokenIds,
