@@ -370,17 +370,19 @@ def _conv1d(x, w, b, stride: int):
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, cache_len: Optional[int] = None) -> dict:
-    """Static KV slab, head-major: [L, B, H, cache_len, hd] for k and v.
+    """Static KV slab in "KF" layout: [L, B, H, hd, cache_len].
 
-    Head-major layout keeps the per-step attention contractions
-    transpose-free (the K/V slabs are the dominant HBM traffic of every
-    decode step; a layout-induced copy would double it)."""
+    The cache axis sits minor so it maps to the TPU's 128-lane dimension:
+    with Whisper's hd = 64, a cache-major layout would waste half of every
+    lane, and the slabs are the dominant HBM traffic of every decode step.
+    The fused decode kernel (ops/decode_attention.py) consumes this layout
+    directly; XLA contractions take it without transposes."""
     shape = (
         cfg.n_text_layer,
         batch,
         cfg.n_text_head,
-        cache_len or cfg.n_text_ctx,
         cfg.n_text_state // cfg.n_text_head,
+        cache_len or cfg.n_text_ctx,
     )
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
 
@@ -388,14 +390,14 @@ def init_kv_cache(cfg: WhisperConfig, batch: int, cache_len: Optional[int] = Non
 def precompute_xa_kv(cfg: WhisperConfig, params: Params, xa: jnp.ndarray) -> dict:
     """Cross-attention K/V from encoder output, once per window.
 
-    xa: [B, 1500, d] → {"k","v"}: [L, B, H, 1500, hd] (head-major)."""
+    xa: [B, 1500, d] → {"k","v"}: [L, B, H, hd, 1500] (KF layout)."""
     blocks = params["decoder"]["blocks"]
     h = cfg.n_text_head
 
     def per_layer(carry, layer):
         ca = layer["cross_attn"]
-        k = _split_heads(dense(xa, ca["k"]), h).transpose(0, 2, 1, 3)
-        v = _split_heads(dense(xa, ca["v"]), h).transpose(0, 2, 1, 3)
+        k = _split_heads(dense(xa, ca["k"]), h).transpose(0, 2, 3, 1)
+        v = _split_heads(dense(xa, ca["v"]), h).transpose(0, 2, 3, 1)
         return carry, (k, v)
 
     _, (ks, vs) = jax.lax.scan(per_layer, None, blocks)
@@ -430,21 +432,40 @@ def xa_batch_size(xa_kv: dict) -> int:
     return leaf.shape[1]
 
 
-def _attend_xa(q, xa: dict, scale):
-    """Cross-attention against one layer's audio K/V, int8-aware.
+def _attend_kf(q, k, v, mask=None):
+    """Attention over KF-layout slabs. q [B,H,T,hd] (pre-scaled);
+    k,v [B,H,hd,F]; mask broadcastable to [B,H,T,F]. fp32 softmax.
+    Returns (out [B,H,T,hd], weights fp32)."""
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # [B,H,T,F]
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jax.lax.dot_general(
+        w.astype(v.dtype), v,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # [B,H,T,hd]
+    return out.astype(v.dtype), w
 
-    q [B,H,T,c]; xa holds either {"k","v"} [B,H,F,c] (bf16) or
-    {"k_q","v_q" int8, "k_scale","v_scale" f32 [B,H,F]} (ops/quant.py).
-    The quantized path never materializes a bf16 copy of the slab: the
-    per-position k_scale multiplies the score matrix after the q·k
-    contraction and v_scale folds into the softmax weights before the
-    values contraction. Returns (out [B,H,T,c], weights fp32 [B,H,T,F])."""
+
+def _attend_xa(q, xa: dict, scale):
+    """Cross-attention against one layer's audio K/V (XLA path, any T),
+    int8-aware. q [B,H,T,hd]; xa holds either {"k","v"} [B,H,hd,F] (bf16)
+    or {"k_q","v_q" int8 [B,H,hd,F], "k_scale","v_scale" f32 [B,H,F]}
+    (ops/quant.py). The quantized path never materializes a bf16 copy of
+    the slab: per-position k_scale multiplies the score matrix after the
+    q·k contraction; v_scale folds into the softmax weights. Returns
+    (out [B,H,T,hd], weights fp32 [B,H,T,F])."""
     if "k_q" not in xa:
-        return _attend(q * scale, xa["k"] * scale, xa["v"])
+        return _attend_kf(q * (scale * scale), xa["k"], xa["v"])
     scores = jax.lax.dot_general(
         q,
         xa["k_q"].astype(q.dtype),
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32,
     )  # [B,H,T,F]
     scores = scores * (xa["k_scale"] * (scale * scale))[:, :, None, :]
@@ -453,10 +474,38 @@ def _attend_xa(q, xa: dict, scale):
     out = jax.lax.dot_general(
         wv,
         xa["v_q"].astype(q.dtype),
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32,
     )
     return out.astype(q.dtype), w
+
+
+def _attend_xa_step(q1, xa: dict, scale):
+    """Single-token cross-attention. q1 [S,H,hd] → [S,H,hd].
+
+    XLA on the KF layout wins here: measured on-chip at large-v3 B=8, the
+    32-layer cross core costs 1.85 ms vs 6.1 ms in the former
+    cache-axis-minor layout, and vs 5.1 ms for a per-(s,h) Pallas kernel
+    (ops/decode_attention.py — kept for future tiling work; its M=1
+    programs don't pipeline as well as XLA's fused batched contraction)."""
+    from ..ops.decode_attention import decode_attention_reference
+
+    s2 = scale * scale
+    if "k_q" in xa:
+        return decode_attention_reference(
+            q1, xa["k_q"], xa["v_q"], xa["k_scale"], xa["v_scale"], scale=s2
+        )
+    return decode_attention_reference(q1, xa["k"], xa["v"], scale=s2)
+
+
+def _attend_self_step(q1, k, v, pos, scale):
+    """Single-token causal self-attention over the KF cache (XLA; see
+    _attend_xa_step for the measured XLA-vs-Pallas call).
+
+    q1 [S,H,hd]; k,v [S,H,hd,C]; pos [S] (attend columns ≤ pos)."""
+    from ..ops.decode_attention import decode_attention_reference
+
+    return decode_attention_reference(q1, k, v, pos=pos, scale=scale * scale)
 
 
 def decoder_apply(
@@ -480,12 +529,20 @@ def decoder_apply(
     h = cfg.n_text_head
     ctx = cfg.n_text_ctx
 
+    if T == 1 and not collect_cross_attn:
+        # Shared-position single-token step → the fused decode path.
+        pos_vec = jnp.broadcast_to(jnp.asarray(pos_offset, jnp.int32), (B,))
+        logits, kv_cache = decoder_step(
+            cfg, params, tokens[:, 0], pos_vec, kv_cache, xa_kv
+        )
+        return logits[:, None], kv_cache, None
+
     x = embed_tokens(dec, tokens) + jax.lax.dynamic_slice_in_dim(
         dec["pos_emb"], pos_offset, T, axis=0
     )
     x = x.astype(cfg.dtype)
 
-    cache_len = kv_cache["k"].shape[3]
+    cache_len = kv_cache["k"].shape[-1]
     # Mask over cache positions: attend to [0, pos_offset + i] for query i.
     kpos = jnp.arange(cache_len)[None, :]  # [1, cache_len]
     qpos = pos_offset + jnp.arange(T)[:, None]  # [T, 1]
@@ -497,6 +554,9 @@ def decoder_apply(
     def to_heads(y):  # [B,T,d] → head-major [B,H,T,c]
         return _split_heads(y, h).transpose(0, 2, 1, 3)
 
+    def to_kf(y):  # [B,T,d] → KF [B,H,c,T]
+        return _split_heads(y, h).transpose(0, 2, 3, 1)
+
     def block(carry, inputs):
         hx = carry
         layer, k_cache, v_cache, xa = inputs
@@ -504,11 +564,11 @@ def decoder_apply(
         # -- causal self-attention over the cache slab
         y = layer_norm(hx, layer["attn_ln"])
         q = to_heads(dense(y, layer["attn"]["q"]))
-        k_new = to_heads(dense(y, layer["attn"]["k"]))
-        v_new = to_heads(dense(y, layer["attn"]["v"]))
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos_offset, axis=2)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos_offset, axis=2)
-        sa, _ = _attend(q * scale, k_cache * scale, v_cache, self_mask)
+        k_new = to_kf(dense(y, layer["attn"]["k"]))
+        v_new = to_kf(dense(y, layer["attn"]["v"]))
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos_offset, axis=3)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos_offset, axis=3)
+        sa, _ = _attend_kf(q * (scale * scale), k_cache, v_cache, self_mask)
         sa = sa.transpose(0, 2, 1, 3).reshape(B, T, d)
         hx = hx + dense(sa, layer["attn"]["o"])
 
@@ -544,27 +604,26 @@ def decoder_step(
 ):
     """Single decode step with PER-SLOT positions — the continuous
     batcher's core op (SURVEY.md §7 hard-part #1): slots at different
-    decode depths share one fused step; per-slot cache writes lower to a
-    scatter via vmap'd dynamic_update_slice.
+    decode depths share one fused step. Self- and cross-attention run in
+    the fused Pallas decode kernel on TPU (ops/decode_attention.py) —
+    measured on-chip, the equivalent XLA op chains account for ~80% of the
+    step at these M=1 shapes.
 
     Returns (logits [S, V] fp32, new_kv_cache)."""
     dec = params["decoder"]
     S = tokens.shape[0]
     h = cfg.n_text_head
     d = cfg.n_text_state
-    cache_len = kv_cache["k"].shape[3]
-    scale = (d // h) ** -0.25
+    hd = d // h
+    scale = hd**-0.25
 
     x = embed_tokens(dec, tokens) + dec["pos_emb"][pos]  # [S, d]
     x = x[:, None, :].astype(cfg.dtype)  # [S, 1, d]
 
-    kpos = jnp.arange(cache_len)[None, :]
-    self_mask = (kpos <= pos[:, None])[:, None, None]  # [S,1,1,cache_len]
-
     def write_slot(cache, new):
-        # cache [S, H, cache_len, hd], new [S, H, 1, hd] at pos[s]
+        # cache [S, H, hd, cache_len]; new [S, H, hd, 1] column at pos[s]
         return jax.vmap(
-            lambda c, n, p: jax.lax.dynamic_update_slice_in_dim(c, n, p, axis=1)
+            lambda c, n, p: jax.lax.dynamic_update_slice_in_dim(c, n, p, axis=2)
         )(cache, new, pos)
 
     def block(carry, inputs):
@@ -572,19 +631,19 @@ def decoder_step(
         layer, k_cache, v_cache, xa = inputs
         y = layer_norm(hx, layer["attn_ln"])
 
-        def heads(z):  # [S,1,d] → [S,H,1,hd]
-            return _split_heads(z, h).transpose(0, 2, 1, 3)
+        def heads1(z):  # [S,1,d] → [S,H,hd] (contiguous split, no transpose)
+            return z.reshape(S, h, hd)
 
-        q = heads(dense(y, layer["attn"]["q"]))
-        k_cache = write_slot(k_cache, heads(dense(y, layer["attn"]["k"])))
-        v_cache = write_slot(v_cache, heads(dense(y, layer["attn"]["v"])))
-        sa, _ = _attend(q * scale, k_cache * scale, v_cache, self_mask)
-        hx = hx + dense(sa.transpose(0, 2, 1, 3).reshape(S, 1, d), layer["attn"]["o"])
+        q = heads1(dense(y, layer["attn"]["q"]))
+        k_cache = write_slot(k_cache, heads1(dense(y, layer["attn"]["k"]))[..., None])
+        v_cache = write_slot(v_cache, heads1(dense(y, layer["attn"]["v"]))[..., None])
+        sa = _attend_self_step(q, k_cache, v_cache, pos, scale)
+        hx = hx + dense(sa.reshape(S, 1, d).astype(hx.dtype), layer["attn"]["o"])
 
         y = layer_norm(hx, layer["cross_attn_ln"])
-        q = heads(dense(y, layer["cross_attn"]["q"]))
-        ca, _ = _attend_xa(q, xa, scale)
-        hx = hx + dense(ca.transpose(0, 2, 1, 3).reshape(S, 1, d), layer["cross_attn"]["o"])
+        q = heads1(dense(y, layer["cross_attn"]["q"]))
+        ca = _attend_xa_step(q, xa, scale)
+        hx = hx + dense(ca.reshape(S, 1, d).astype(hx.dtype), layer["cross_attn"]["o"])
 
         hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
         return hx, (k_cache, v_cache)

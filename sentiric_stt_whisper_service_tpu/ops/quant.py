@@ -116,15 +116,16 @@ def is_quantized(params: Any) -> bool:
 
 @jax.jit
 def quantize_xa_kv(xa_kv: dict) -> dict:
-    """Quantize a cross-attention KV dict ``{"k","v"}: [L,B,H,T,hd]`` to
-    ``{"k_q","v_q": int8, "k_scale","v_scale": f32 [L,B,H,T]}``.
+    """Quantize a cross-attention KV dict ``{"k","v"}: [L,B,H,hd,F]`` (KF
+    layout) to ``{"k_q","v_q": int8, "k_scale","v_scale": f32 [L,B,H,F]}``.
 
-    Per-position scales keep the attention math exact up to 1/127 rounding:
-    scores pick up ``k_scale`` after the q·k contraction; ``v_scale`` folds
-    into the softmax weights before the values contraction (see
-    ``models.whisper._attend_quantized``)."""
-    k_q, k_scale = quantize_weight(xa_kv["k"], axis=-1)
-    v_q, v_scale = quantize_weight(xa_kv["v"], axis=-1)
+    Per-position scales (reduced over ``hd``) keep the attention math exact
+    up to 1/127 rounding: scores pick up ``k_scale`` after the q·k
+    contraction; ``v_scale`` folds into the softmax weights before the
+    values contraction (models/whisper._attend_xa and the fused kernel in
+    ops/decode_attention.py)."""
+    k_q, k_scale = quantize_weight(xa_kv["k"], axis=-2)
+    v_q, v_scale = quantize_weight(xa_kv["v"], axis=-2)
     return {"k_q": k_q, "k_scale": k_scale, "v_q": v_q, "v_scale": v_scale}
 
 

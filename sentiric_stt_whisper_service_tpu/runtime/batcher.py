@@ -12,8 +12,10 @@ Device-resident state (static shapes, S = max_slots):
   tokens   [S, ctx]      sampled-token buffers
   pos      [S]           per-slot decode position
   done     [S]           finished flags
-  kv       [L, S, H, cache_len, hd]   self-attention cache slabs
-  xa_kv    [L, S, H, 1500, hd]        cross-attention K/V per slot
+  kv       [L, S, H, hd, cache_len]   self-attention cache slabs (KF layout)
+  xa_kv    [L, S, H, hd, 1500]        cross-attention K/V per slot
+                                      (int8 + [L,S,H,1500] scales when
+                                      quantize_kv)
   sample_begin [S]       per-slot prompt length
   tok_lps  [S, ctx]      per-token logprobs
 
@@ -112,15 +114,17 @@ class ContinuousBatcher:
     def _init_state(self) -> BatchState:
         cfg, S = self.cfg, self.S
         hd = cfg.n_text_state // cfg.n_text_head
+        # KF layout: [L, S, H, hd, F] slabs; int8 scales drop the hd axis.
         xa_shape = (
-            cfg.n_text_layer, S, cfg.n_text_head, cfg.n_audio_ctx, hd,
+            cfg.n_text_layer, S, cfg.n_text_head, hd, cfg.n_audio_ctx,
         )
+        scale_shape = xa_shape[:3] + xa_shape[4:]
         if self.quantize_kv:
             xa_zero = {
                 "k_q": jnp.zeros(xa_shape, jnp.int8),
-                "k_scale": jnp.zeros(xa_shape[:-1], jnp.float32),
+                "k_scale": jnp.zeros(scale_shape, jnp.float32),
                 "v_q": jnp.zeros(xa_shape, jnp.int8),
-                "v_scale": jnp.zeros(xa_shape[:-1], jnp.float32),
+                "v_scale": jnp.zeros(scale_shape, jnp.float32),
             }
         else:
             xa_zero = {
@@ -408,7 +412,7 @@ def _insert_slot_op(
 @functools.partial(jax.jit, static_argnames=("cfg", "ids", "n_steps"))
 def _step_chunk_op(cfg, ids, n_steps, params, suppress_mask, state):
     if True:
-        cache_len = state.kv["k"].shape[3]
+        cache_len = state.kv["k"].shape[-1]
 
         def one_step(state: BatchState) -> BatchState:
             logits = state.last_logits + suppress_mask[None, :]

@@ -89,7 +89,8 @@ def test_quantize_params_structure(setup):
 def test_quantized_xa_kv_format(setup):
     _, _, xa_kv, xa_q = setup
     assert xa_q["k_q"].dtype == jnp.int8
-    assert xa_q["k_scale"].shape == xa_kv["k"].shape[:-1]
+    # KF layout [L,B,H,hd,F]: per-position scales drop the hd axis.
+    assert xa_q["k_scale"].shape == xa_kv["k"].shape[:3] + xa_kv["k"].shape[4:]
     assert xa_batch_size(xa_q) == xa_batch_size(xa_kv) == 2
 
 
