@@ -86,7 +86,7 @@ def _decode_window_beam_impl(
     B, ctx = tokens_init.shape
     K = beam_size
     BK = B * K
-    cache_len = min(ctx, -(-max_len // 128) * 128)  # lane-aligned KF slab
+    cache_len = min(ctx, -(-max_len // 64) * 64)  # position-major: sublane-axis slab
 
     def tile_beams(x, axis):
         """[.., B, ..] → [.., B*K, ..] repeating each batch item K times."""

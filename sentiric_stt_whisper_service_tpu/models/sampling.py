@@ -312,7 +312,7 @@ def _decode_window_impl(
     # Right-size the self-attention KV slab: every decode step reads the
     # whole slab from HBM, so a 448-slot slab for a 140-token decode would
     # triple that traffic.
-    cache_len = min(ctx, -(-max_len // 128) * 128)  # lane-aligned KF slab
+    cache_len = min(ctx, -(-max_len // 64) * 64)  # position-major: sublane-axis slab
     kv = init_kv_cache(cfg, B, cache_len)
 
     # --- prefill the prompt (bucketed static length; tail is EOT pad) ---

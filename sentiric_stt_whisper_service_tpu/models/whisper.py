@@ -370,19 +370,23 @@ def _conv1d(x, w, b, stride: int):
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int, cache_len: Optional[int] = None) -> dict:
-    """Static KV slab in "KF" layout: [L, B, H, hd, cache_len].
+    """Static self-attention KV slab, position-major: [L, B, H, C, hd].
 
-    The cache axis sits minor so it maps to the TPU's 128-lane dimension:
-    with Whisper's hd = 64, a cache-major layout would waste half of every
-    lane, and the slabs are the dominant HBM traffic of every decode step.
-    The fused decode kernel (ops/decode_attention.py) consumes this layout
-    directly; XLA contractions take it without transposes."""
+    Layout choice is write-driven: every decode step appends one K/V row
+    per layer at a dynamic position. With the position axis on SUBLANES the
+    append is a cheap masked vector store; on the 128-LANE axis it is
+    physically impossible to address (Mosaic: DMA slices on the lane dim
+    must be 128-aligned) and XLA's fallbacks cost ~7 ms/step (docs/PERF.md).
+    The read-side penalty (hd=64 wastes half of each lane vector) is small
+    because the self slab is short (≤448). The big READ-ONLY cross slab
+    (1500 positions) uses the opposite "KF" layout — see
+    :func:`precompute_xa_kv`."""
     shape = (
         cfg.n_text_layer,
         batch,
         cfg.n_text_head,
-        cfg.n_text_state // cfg.n_text_head,
         cache_len or cfg.n_text_ctx,
+        cfg.n_text_state // cfg.n_text_head,
     )
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
 
@@ -498,14 +502,6 @@ def _attend_xa_step(q1, xa: dict, scale):
     return decode_attention_reference(q1, xa["k"], xa["v"], scale=s2)
 
 
-def _attend_self_step(q1, k, v, pos, scale):
-    """Single-token causal self-attention over the KF cache (XLA; see
-    _attend_xa_step for the measured XLA-vs-Pallas call).
-
-    q1 [S,H,hd]; k,v [S,H,hd,C]; pos [S] (attend columns ≤ pos)."""
-    from ..ops.decode_attention import decode_attention_reference
-
-    return decode_attention_reference(q1, k, v, pos=pos, scale=scale * scale)
 
 
 def decoder_apply(
@@ -542,7 +538,7 @@ def decoder_apply(
     )
     x = x.astype(cfg.dtype)
 
-    cache_len = kv_cache["k"].shape[-1]
+    cache_len = kv_cache["k"].shape[3]
     # Mask over cache positions: attend to [0, pos_offset + i] for query i.
     kpos = jnp.arange(cache_len)[None, :]  # [1, cache_len]
     qpos = pos_offset + jnp.arange(T)[:, None]  # [T, 1]
@@ -554,25 +550,31 @@ def decoder_apply(
     def to_heads(y):  # [B,T,d] → head-major [B,H,T,c]
         return _split_heads(y, h).transpose(0, 2, 1, 3)
 
-    def to_kf(y):  # [B,T,d] → KF [B,H,c,T]
-        return _split_heads(y, h).transpose(0, 2, 3, 1)
-
+    # Self-KV slabs ride the scan CARRY as the full stacked buffers with
+    # one leading-axis dynamic update per layer — scan xs→ys round-trips
+    # copy the slab every layer (measured ~2 ms/step at large-v3 B=8).
     def block(carry, inputs):
-        hx = carry
-        layer, k_cache, v_cache, xa = inputs
+        hx, k_all, v_all = carry
+        layer, xa, li = inputs
 
         # -- causal self-attention over the cache slab
         y = layer_norm(hx, layer["attn_ln"])
         q = to_heads(dense(y, layer["attn"]["q"]))
-        k_new = to_kf(dense(y, layer["attn"]["k"]))
-        v_new = to_kf(dense(y, layer["attn"]["v"]))
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos_offset, axis=3)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos_offset, axis=3)
-        sa, _ = _attend_kf(q * (scale * scale), k_cache, v_cache, self_mask)
+        k_new = to_heads(dense(y, layer["attn"]["k"]))  # [B,H,T,hd]
+        v_new = to_heads(dense(y, layer["attn"]["v"]))
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_new[None].astype(k_all.dtype), (li, 0, 0, pos_offset, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_new[None].astype(v_all.dtype), (li, 0, 0, pos_offset, 0)
+        )
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+        sa, _ = _attend(q * (scale * scale), k_cache, v_cache, self_mask)
         sa = sa.transpose(0, 2, 1, 3).reshape(B, T, d)
         hx = hx + dense(sa, layer["attn"]["o"])
 
-        # -- cross-attention against precomputed audio K/V
+        # -- cross-attention against precomputed audio K/V (KF layout)
         y = layer_norm(hx, layer["cross_attn_ln"])
         q = to_heads(dense(y, layer["cross_attn"]["q"]))
         ca, w = _attend_xa(q, xa, scale)
@@ -580,14 +582,12 @@ def decoder_apply(
         hx = hx + dense(ca, layer["cross_attn"]["o"])
 
         hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
-        if collect_cross_attn:
-            return hx, (k_cache, v_cache, w)
-        return hx, (k_cache, v_cache, None)
+        return (hx, k_all, v_all), (w if collect_cross_attn else None)
 
-    x, (new_k, new_v, cross_w) = jax.lax.scan(
+    (x, new_k, new_v), cross_w = jax.lax.scan(
         block,
-        x,
-        (dec["blocks"], kv_cache["k"], kv_cache["v"], xa_kv),
+        (x, kv_cache["k"], kv_cache["v"]),
+        (dec["blocks"], xa_kv, jnp.arange(cfg.n_text_layer)),
     )
     x = layer_norm(x, dec["ln"])
     logits = tied_logits(x, dec)
@@ -598,9 +598,9 @@ def decoder_step(
     cfg: WhisperConfig,
     params: Params,
     tokens: jnp.ndarray,  # [S] int32: one new token per slot
-    pos: jnp.ndarray,  # [S] int32: per-slot write position (heterogeneous)
-    kv_cache: dict,  # [L, S, H, cache_len, hd]
-    xa_kv: dict,  # [L, S, H, 1500, hd]
+    pos: jnp.ndarray,  # [S] int32 per-slot positions, or SCALAR (shared)
+    kv_cache: dict,  # [L, S, H, hd, cache_len] (KF layout)
+    xa_kv: dict,  # [L, S, H, hd, 1500] (+ scales when int8)
 ):
     """Single decode step with PER-SLOT positions — the continuous
     batcher's core op (SURVEY.md §7 hard-part #1): slots at different
@@ -616,29 +616,43 @@ def decoder_step(
     d = cfg.n_text_state
     hd = d // h
     scale = hd**-0.25
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (S,))
 
-    x = embed_tokens(dec, tokens) + dec["pos_emb"][pos]  # [S, d]
+    x = embed_tokens(dec, tokens) + dec["pos_emb"][pos_vec]  # [S, d]
     x = x[:, None, :].astype(cfg.dtype)  # [S, 1, d]
 
-    def write_slot(cache, new):
-        # cache [S, H, hd, cache_len]; new [S, H, hd, 1] column at pos[s]
+    cache_len = kv_cache["k"].shape[3]
+    kpos = jnp.arange(cache_len)[None, :]
+    self_mask = (kpos <= pos_vec[:, None])[:, None, None]  # [S,1,1,C]
+
+    def write_slot(cache_all, new, li):
+        # cache_all [L,S,H,C,hd]; new [S,H,hd] appended at (li, s, :, pos[s]).
+        # Position-major layout makes this a sublane-axis update — the only
+        # direction the tiled memory can absorb a single-row write cheaply.
         return jax.vmap(
-            lambda c, n, p: jax.lax.dynamic_update_slice_in_dim(c, n, p, axis=2)
-        )(cache, new, pos)
+            lambda c, n, p: jax.lax.dynamic_update_slice(
+                c, n[None, :, None, :].astype(c.dtype), (li, 0, p, 0)
+            ),
+            in_axes=(1, 0, 0),
+            out_axes=1,
+        )(cache_all, new, pos_vec)
 
     def block(carry, inputs):
-        hx = carry
-        layer, k_cache, v_cache, xa = inputs
+        hx, k_all, v_all = carry
+        layer, xa, li = inputs
         y = layer_norm(hx, layer["attn_ln"])
 
         def heads1(z):  # [S,1,d] → [S,H,hd] (contiguous split, no transpose)
             return z.reshape(S, h, hd)
 
-        q = heads1(dense(y, layer["attn"]["q"]))
-        k_cache = write_slot(k_cache, heads1(dense(y, layer["attn"]["k"]))[..., None])
-        v_cache = write_slot(v_cache, heads1(dense(y, layer["attn"]["v"]))[..., None])
-        sa = _attend_self_step(q, k_cache, v_cache, pos, scale)
-        hx = hx + dense(sa.reshape(S, 1, d).astype(hx.dtype), layer["attn"]["o"])
+        q = heads1(dense(y, layer["attn"]["q"]))[:, :, None, :]  # [S,H,1,hd]
+        k_all = write_slot(k_all, heads1(dense(y, layer["attn"]["k"])), li)
+        v_all = write_slot(v_all, heads1(dense(y, layer["attn"]["v"])), li)
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+        sa, _ = _attend(q * (scale * scale), k_cache, v_cache, self_mask)
+        sa = sa.transpose(0, 2, 1, 3).reshape(S, 1, d)
+        hx = hx + dense(sa.astype(hx.dtype), layer["attn"]["o"])
 
         y = layer_norm(hx, layer["cross_attn_ln"])
         q = heads1(dense(y, layer["cross_attn"]["q"]))
@@ -646,10 +660,12 @@ def decoder_step(
         hx = hx + dense(ca.reshape(S, 1, d).astype(hx.dtype), layer["cross_attn"]["o"])
 
         hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
-        return hx, (k_cache, v_cache)
+        return (hx, k_all, v_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        block, x, (dec["blocks"], kv_cache["k"], kv_cache["v"], xa_kv)
+    (x, new_k, new_v), _ = jax.lax.scan(
+        block,
+        (x, kv_cache["k"], kv_cache["v"]),
+        (dec["blocks"], xa_kv, jnp.arange(cfg.n_text_layer)),
     )
     x = layer_norm(x, dec["ln"])
     logits = tied_logits(x, dec)[:, 0]

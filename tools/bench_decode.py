@@ -47,7 +47,7 @@ from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
 MODEL = os.environ.get("BENCH_MODEL", "large-v3")
 B = int(os.environ.get("BENCH_BATCH", "8"))
 STEPS = int(os.environ.get("BENCH_STEPS", "128"))
-CACHE_LEN = 192
+CACHE_LEN = 256  # lane-aligned (multiple of 128)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
@@ -67,11 +67,11 @@ def raw_decode_loop(cfg, n_steps, params, kv, xa_kv, tok0, pos0):
 
 
 def timeit(fn, iters=3):
-    fn()  # compile+warm
+    out = fn()  # compile+warm
+    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]  # sync incl. compile
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    _ = jax.tree.leaves(out)[0].block_until_ready()
     _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]  # hard sync
     return (time.perf_counter() - t0) / iters
 
