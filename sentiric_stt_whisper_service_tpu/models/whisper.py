@@ -526,10 +526,12 @@ def decoder_apply(
     ctx = cfg.n_text_ctx
 
     if T == 1 and not collect_cross_attn:
-        # Shared-position single-token step → the fused decode path.
-        pos_vec = jnp.broadcast_to(jnp.asarray(pos_offset, jnp.int32), (B,))
+        # Shared-position single-token step → the fused decode path. The
+        # SCALAR position lets the cache append be one sublane-axis DUS
+        # instead of a per-slot scatter.
         logits, kv_cache = decoder_step(
-            cfg, params, tokens[:, 0], pos_vec, kv_cache, xa_kv
+            cfg, params, tokens[:, 0], jnp.asarray(pos_offset, jnp.int32),
+            kv_cache, xa_kv,
         )
         return logits[:, None], kv_cache, None
 
@@ -625,10 +627,21 @@ def decoder_step(
     kpos = jnp.arange(cache_len)[None, :]
     self_mask = (kpos <= pos_vec[:, None])[:, None, None]  # [S,1,1,C]
 
+    shared_pos = jnp.ndim(pos) == 0
+
     def write_slot(cache_all, new, li):
         # cache_all [L,S,H,C,hd]; new [S,H,hd] appended at (li, s, :, pos[s]).
         # Position-major layout makes this a sublane-axis update — the only
         # direction the tiled memory can absorb a single-row write cheaply.
+        if shared_pos:
+            # decode_window/beam advance all rows in lockstep: one DUS
+            # instead of a per-slot scatter (the scatter costs ~2.5 ms/step
+            # across 32 layers even on the sublane axis).
+            return jax.lax.dynamic_update_slice(
+                cache_all,
+                new[None, :, :, None, :].astype(cache_all.dtype),
+                (li, 0, 0, pos, 0),
+            )
         return jax.vmap(
             lambda c, n, p: jax.lax.dynamic_update_slice(
                 c, n[None, :, None, :].astype(c.dtype), (li, 0, p, 0)

@@ -92,9 +92,14 @@ def main():
         lambda p, m: precompute_xa_kv(cfg, p, encoder_apply(cfg, p, m)),
         static_argnums=(),
     )
+    # Time via a device-side scalar probe — pulling the xa_kv tree itself
+    # would measure a 0.5 GB device→host transfer, not the encoder.
+    enc_probe = jax.jit(
+        lambda p, m: jnp.sum(enc(p, m)["k"][..., 0].astype(jnp.float32))
+    )
     results = {}
 
-    results["encoder_xakv_s"] = timeit(lambda: enc(params, mel))
+    results["encoder_xakv_s"] = timeit(lambda: enc_probe(params, mel))
     xa_kv = jax.block_until_ready(enc(params, mel))
     xa_q = jax.block_until_ready(quantize_xa_kv(xa_kv))
     qparams = jax.block_until_ready(quantize_params(params))
