@@ -561,9 +561,16 @@ def decoder_apply(
 
         # -- causal self-attention over the cache slab
         y = layer_norm(hx, layer["attn_ln"])
-        q = to_heads(dense(y, layer["attn"]["q"]))
-        k_new = to_heads(dense(y, layer["attn"]["k"]))  # [B,H,T,hd]
-        v_new = to_heads(dense(y, layer["attn"]["v"]))
+        if "qkv" in layer["attn"]:  # fused projection (ops/quant.py)
+            qkv = dense(y, layer["attn"]["qkv"])
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
+        else:
+            qp = dense(y, layer["attn"]["q"])
+            kp = dense(y, layer["attn"]["k"])
+            vp = dense(y, layer["attn"]["v"])
+        q = to_heads(qp)
+        k_new = to_heads(kp)  # [B,H,T,hd]
+        v_new = to_heads(vp)
         k_all = jax.lax.dynamic_update_slice(
             k_all, k_new[None].astype(k_all.dtype), (li, 0, 0, pos_offset, 0)
         )
@@ -601,15 +608,23 @@ def decoder_step(
     params: Params,
     tokens: jnp.ndarray,  # [S] int32: one new token per slot
     pos: jnp.ndarray,  # [S] int32 per-slot positions, or SCALAR (shared)
-    kv_cache: dict,  # [L, S, H, hd, cache_len] (KF layout)
-    xa_kv: dict,  # [L, S, H, hd, 1500] (+ scales when int8)
+    kv_cache: dict,  # [L, S, H, cache_len, hd] (position-major)
+    xa_kv: dict,  # [L, S, H, hd, 1500] KF (+ scales when int8)
+    ring_row: Optional[jnp.ndarray] = None,  # scalar: ring write row
 ):
     """Single decode step with PER-SLOT positions — the continuous
     batcher's core op (SURVEY.md §7 hard-part #1): slots at different
-    decode depths share one fused step. Self- and cross-attention run in
-    the fused Pallas decode kernel on TPU (ops/decode_attention.py) —
-    measured on-chip, the equivalent XLA op chains account for ~80% of the
-    step at these M=1 shapes.
+    decode depths share one fused step.
+
+    Cache-append modes, fastest first (docs/PERF.md "write-driven rules"):
+      * ``pos`` scalar (lockstep batch): one shared sublane DUS.
+      * ``ring_row`` scalar (continuous batching): every slot writes the
+        SAME physical row of its lane; a slot's logical token i lives at
+        row (ring_row - pos + i) mod C and its valid set is the circular
+        arc of length pos+1 ending at ring_row — so heterogeneous decode
+        depths still append with one shared DUS.
+      * ``pos`` vector without ``ring_row``: per-slot scatter (slow;
+        kept as the general fallback).
 
     Returns (logits [S, V] fp32, new_kv_cache)."""
     dec = params["decoder"]
@@ -625,14 +640,25 @@ def decoder_step(
 
     cache_len = kv_cache["k"].shape[3]
     kpos = jnp.arange(cache_len)[None, :]
-    self_mask = (kpos <= pos_vec[:, None])[:, None, None]  # [S,1,1,C]
+    if ring_row is not None:
+        # Ring validity: the arc of pos+1 rows ending at ring_row.
+        ages = (ring_row - kpos) % cache_len  # [1, C]
+        self_mask = (ages <= pos_vec[:, None])[:, None, None]
+    else:
+        self_mask = (kpos <= pos_vec[:, None])[:, None, None]  # [S,1,1,C]
 
     shared_pos = jnp.ndim(pos) == 0
 
     def write_slot(cache_all, new, li):
-        # cache_all [L,S,H,C,hd]; new [S,H,hd] appended at (li, s, :, pos[s]).
+        # cache_all [L,S,H,C,hd]; new [S,H,hd] appended at (li, s, :, row).
         # Position-major layout makes this a sublane-axis update — the only
         # direction the tiled memory can absorb a single-row write cheaply.
+        if ring_row is not None:
+            return jax.lax.dynamic_update_slice(
+                cache_all,
+                new[None, :, :, None, :].astype(cache_all.dtype),
+                (li, 0, 0, ring_row, 0),
+            )
         if shared_pos:
             # decode_window/beam advance all rows in lockstep: one DUS
             # instead of a per-slot scatter (the scatter costs ~2.5 ms/step
@@ -658,9 +684,16 @@ def decoder_step(
         def heads1(z):  # [S,1,d] → [S,H,hd] (contiguous split, no transpose)
             return z.reshape(S, h, hd)
 
-        q = heads1(dense(y, layer["attn"]["q"]))[:, :, None, :]  # [S,H,1,hd]
-        k_all = write_slot(k_all, heads1(dense(y, layer["attn"]["k"])), li)
-        v_all = write_slot(v_all, heads1(dense(y, layer["attn"]["v"])), li)
+        if "qkv" in layer["attn"]:  # fused projection (ops/quant.py)
+            qkv = dense(y, layer["attn"]["qkv"])
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
+        else:
+            qp = dense(y, layer["attn"]["q"])
+            kp = dense(y, layer["attn"]["k"])
+            vp = dense(y, layer["attn"]["v"])
+        q = heads1(qp)[:, :, None, :]  # [S,H,1,hd]
+        k_all = write_slot(k_all, heads1(kp), li)
+        v_all = write_slot(v_all, heads1(vp), li)
         k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         sa, _ = _attend(q * (scale * scale), k_cache, v_cache, self_mask)

@@ -98,6 +98,36 @@ def quantize_params(params: Any, encoder: bool = True,
     return {"encoder": enc, "decoder": dec}
 
 
+def fuse_decoder_qkv(params: Any) -> Any:
+    """Concatenate each decoder block's self-attention q/k/v projections
+    into one ``qkv`` dense ([.., d, 3d]) — one MXU launch instead of three
+    on the fixed-cost-dominated decode path. Works on bf16 or int8 params
+    (column-wise concat of w/w_q, scale, and bias with zeros for the
+    bias-free k). Single-chip serving only: the concat interleaves the
+    Megatron column-parallel boundaries, so tensor-parallel meshes keep
+    the unfused form."""
+
+    dec = dict(params["decoder"])
+    blocks = dict(dec["blocks"])
+    attn = blocks["attn"]
+    q, k, v = attn["q"], attn["k"], attn["v"]
+    fused: dict = {}
+    if "w_q" in q:
+        fused["w_q"] = jnp.concatenate([q["w_q"], k["w_q"], v["w_q"]], axis=-1)
+        fused["scale"] = jnp.concatenate(
+            [q["scale"], k["scale"], v["scale"]], axis=-1
+        )
+    else:
+        fused["w"] = jnp.concatenate([q["w"], k["w"], v["w"]], axis=-1)
+    kb = k.get("b")
+    if kb is None:
+        kb = jnp.zeros_like(q["b"])
+    fused["b"] = jnp.concatenate([q["b"], kb, v["b"]], axis=-1)
+    blocks["attn"] = {"qkv": fused, "o": attn["o"]}
+    dec["blocks"] = blocks
+    return {"encoder": params["encoder"], "decoder": dec}
+
+
 def is_quantized(params: Any) -> bool:
     dec = params.get("decoder", {})
     blocks = dec.get("blocks", {})

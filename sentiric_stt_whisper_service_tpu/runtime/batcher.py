@@ -62,6 +62,11 @@ class BatchState(NamedTuple):
     kv: dict
     xa_kv: dict
     last_logits: jnp.ndarray  # [S, V] fp32
+    # Global ring write row: every step appends ALL slots' K/V at this row
+    # of their lanes (one shared sublane DUS instead of a per-slot scatter;
+    # docs/PERF.md). A slot's tokens occupy the circular arc of pos+1 rows
+    # ending here.
+    ring_row: jnp.ndarray  # scalar int32
 
 
 @dataclasses.dataclass
@@ -143,6 +148,7 @@ class ContinuousBatcher:
             kv=init_kv_cache(cfg, S, self.cache_len),
             xa_kv=xa_zero,
             last_logits=jnp.zeros((S, cfg.n_vocab), jnp.float32),
+            ring_row=jnp.int32(0),
         )
 
     # ------------------------------------------------------------------
@@ -379,9 +385,15 @@ def _insert_slot_op(
             ]
         )[None]
         tokens = put(state.tokens, row)
+        # Ring placement: prompt token j must live at row
+        # (ring_row - n_prompt + 1 + j) mod C of the slot's lane; the
+        # prefill wrote it at row j, so roll the row axis into place.
+        # (Bucketed-prefill garbage rows land at "future" ring ages — they
+        # are masked until overwritten by real appends.)
+        shift = jnp.mod(state.ring_row - n_prompt + 1, cache_len)
         kv = {
             k: jax.lax.dynamic_update_slice_in_dim(
-                state.kv[k], kv1[k], slot, axis=1
+                state.kv[k], jnp.roll(kv1[k], shift, axis=3), slot, axis=1
             )
             for k in ("k", "v")
         }
@@ -407,6 +419,7 @@ def _insert_slot_op(
                 state.last_logits,
                 jax.lax.dynamic_slice_in_dim(logits, n_prompt - 1, 1, axis=1)[:, 0],
             ),
+            ring_row=state.ring_row,
         )
 
 @functools.partial(jax.jit, static_argnames=("cfg", "ids", "n_steps"))
@@ -444,10 +457,12 @@ def _step_chunk_op(cfg, ids, n_steps, params, suppress_mask, state):
             sum_lp = state.sum_lp + tok_lp
             new_done = state.done | (next_tok == ids.eot)
 
+            ring_row = jnp.mod(state.ring_row + 1, cache_len)
             step_logits, kv = decoder_step(
                 cfg, params, next_tok,
                 jnp.minimum(write_pos, cache_len - 1),
                 state.kv, state.xa_kv,
+                ring_row=ring_row,
             )
             return BatchState(
                 tokens=tokens,
@@ -461,6 +476,7 @@ def _step_chunk_op(cfg, ids, n_steps, params, suppress_mask, state):
                 kv=kv,
                 xa_kv=state.xa_kv,
                 last_logits=step_logits,
+                ring_row=ring_row,
             )
 
         for _ in range(n_steps):

@@ -158,6 +158,13 @@ class SttEngine:
 
             if not is_quantized(params):
                 params = quantize_params(params)
+        if settings.mesh_shape in ("1", "", None):
+            # Single chip: fuse decoder q/k/v into one projection (fixed
+            # per-op cost dominates the decode step). TP meshes keep the
+            # unfused Megatron-sharded form.
+            from ..ops.quant import fuse_decoder_qkv
+
+            params = fuse_decoder_qkv(params)
         self.params = params
         self.tokenizer = tokenizer or fallback_tokenizer(self.cfg.n_vocab)
         self.ids = TokenIds.from_tokenizer(self.tokenizer)

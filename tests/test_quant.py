@@ -132,6 +132,27 @@ def test_greedy_decode_agreement(setup):
     assert (a == b).mean() >= 0.9  # int8 may flip near-tie argmaxes
 
 
+def test_fused_qkv_matches_unfused(setup):
+    from sentiric_stt_whisper_service_tpu.ops.quant import fuse_decoder_qkv
+
+    params, qparams, xa_kv, xa_q = setup
+    tok = fallback_tokenizer(CFG.n_vocab)
+    tokens = jnp.asarray(np.tile(np.asarray(tok.sot_sequence("en"), np.int32), (2, 1)))
+    for p, xa in ((params, xa_kv), (qparams, xa_q)):
+        fused = fuse_decoder_qkv(p)
+        assert "qkv" in fused["decoder"]["blocks"]["attn"]
+        l_ref, _, _ = decoder_apply(
+            CFG, p, tokens, jnp.int32(0), init_kv_cache(CFG, 2, 64), xa
+        )
+        l_f, _, _ = decoder_apply(
+            CFG, fused, tokens, jnp.int32(0), init_kv_cache(CFG, 2, 64), xa
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_f, np.float32), np.asarray(l_ref, np.float32),
+            atol=2e-2, rtol=1e-2,
+        )
+
+
 def test_detect_language_quantized(setup):
     from sentiric_stt_whisper_service_tpu.models.sampling import detect_language
 
