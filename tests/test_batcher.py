@@ -114,6 +114,29 @@ def test_carried_prompt_matches_oneshot(setup, batcher):
     np.testing.assert_array_equal(got["tokens"], want_seq)
 
 
+def test_ring_wraparound_consistency(setup):
+    """Decodes stay correct after the global ring row wraps the cache:
+    a late submission (ring_row far beyond cache_len) must produce the
+    same tokens as an early one for identical audio."""
+    cfg, params, tok, ids, sup = setup
+    sot = tok.sot_sequence("en")
+    b = ContinuousBatcher(cfg, params, ids, sup, max_slots=2, cache_len=64,
+                          steps_per_sync=4)
+    try:
+        first = b.submit(make_window(7), sot, 0, max_tokens=12).result(timeout=300)
+        # Spin the ring well past cache_len (64) with filler decodes.
+        for _ in range(4):
+            futs = [b.submit(make_window(i), sot, 0, max_tokens=12)
+                    for i in range(2)]
+            [f.result(timeout=300) for f in futs]
+        again = b.submit(make_window(7), sot, 0, max_tokens=12).result(timeout=300)
+        ring = int(np.asarray(b._state.ring_row))
+        assert 0 <= ring < 64
+        np.testing.assert_array_equal(first["tokens"], again["tokens"])
+    finally:
+        b.shutdown()
+
+
 def test_slot_recycling_beyond_capacity(setup, batcher):
     """More requests than slots — all must complete via recycling."""
     cfg, params, tok, ids, sup = setup
