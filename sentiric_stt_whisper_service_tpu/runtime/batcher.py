@@ -203,10 +203,12 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
     # Jitted device ops
     # ------------------------------------------------------------------
-    def _encode(self, mel: jnp.ndarray) -> dict:
+    def _encode(self, audio) -> dict:
+        """[1, N_SAMPLES] audio → per-slot cross K/V, one fused executable
+        (mel + encoder + precompute + optional int8 quantize)."""
         if self.quantize_kv:
-            return _encode_q_op(self.cfg, self.params, mel)
-        return _encode_op(self.cfg, self.params, mel)
+            return _encode_q_op(self.cfg, self.params, jnp.asarray(audio))
+        return _encode_op(self.cfg, self.params, jnp.asarray(audio))
     def _insert_slot(
         self,
         state: BatchState,
@@ -264,10 +266,7 @@ class ContinuousBatcher:
                 if req.xa_kv is not None:
                     xa_kv1 = req.xa_kv
                 else:
-                    mel = compute_log_mel(
-                        req.audio[None], n_mels=cfg.n_mels, dtype=cfg.dtype
-                    )
-                    xa_kv1 = self._encode(mel)
+                    xa_kv1 = self._encode(req.audio[None])
                 from ..models.sampling import prompt_bucket
 
                 n_prompt = len(req.init_tokens)
@@ -344,15 +343,17 @@ class ContinuousBatcher:
 @functools.partial(
     jax.jit, static_argnames=("cfg",)
 )
-def _encode_op(cfg, params, mel):
+def _encode_op(cfg, params, audio):
+    mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
     xa = encoder_apply(cfg, params, mel)
     return precompute_xa_kv(cfg, params, xa)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _encode_q_op(cfg, params, mel):
+def _encode_q_op(cfg, params, audio):
     from ..ops.quant import quantize_xa_kv
 
+    mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
     return quantize_xa_kv(precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel)))
 
 

@@ -227,13 +227,14 @@ class SttEngine:
             self._rng, sub = jax.random.split(self._rng)
             return sub
 
-    def _encode_window(self, mel):
-        """Encoder + cross-attention K/V, int8 when compute_type=int8."""
-        if self.quantized:
-            from ..models.whisper import encode_xa_kv_q
-
-            return encode_xa_kv_q(self.cfg, self.params, mel)
-        return encode_xa_kv(self.cfg, self.params, mel)
+    def _encode_window(self, windows: np.ndarray):
+        """audio windows [B, N] → cross-attention K/V (int8 when
+        compute_type=int8). Mel + encoder + KV precompute (+ quantize) run
+        as ONE jitted executable — per-launch dispatch latency is the
+        dominant cost of small serving requests (docs/PERF.md)."""
+        return _encode_audio_op(
+            self.cfg, self.params, jnp.asarray(windows), self.quantized
+        )
 
     # ------------------------------------------------------------------
     def transcribe_pcm16(
@@ -322,8 +323,7 @@ class SttEngine:
         window = np.zeros(N_SAMPLES, np.float32)
         n = min(audio.shape[0], N_SAMPLES)
         window[:n] = audio[:n]
-        mel = compute_log_mel(window[None], n_mels=self.cfg.n_mels, dtype=self.cfg.dtype)
-        xa_kv = self._encode_window(mel)
+        xa_kv = self._encode_window(window[None])
         sp = self.tokenizer.special
         probs = detect_language(
             self.cfg, self.params, xa_kv, sp.sot, sp.language_begin, sp.num_languages
@@ -450,10 +450,7 @@ class SttEngine:
             window[:remain] = audio[seek : seek + remain]
             window_dur_cs = int(round(remain / SAMPLE_RATE * 100))  # centisec
 
-            mel = compute_log_mel(
-                window[None], n_mels=cfg.n_mels, dtype=cfg.dtype
-            )
-            xa_kv = self._encode_window(mel)
+            xa_kv = self._encode_window(window[None])
 
             # Decoder preamble: [sot_prev + carried/prompt] [sot lang task].
             prefix = prompt_text_tokens + carried_tokens
@@ -661,8 +658,7 @@ class SttEngine:
                 windows[j, :remain] = audio[w * N_SAMPLES : w * N_SAMPLES + remain]
                 durs_cs.append(int(round(remain / SAMPLE_RATE * 100)))
 
-            mel = compute_log_mel(windows, n_mels=cfg.n_mels, dtype=cfg.dtype)
-            xa_kv = self._encode_window(mel)
+            xa_kv = self._encode_window(windows)
             tinit = np.full((W, cfg.n_text_ctx), ids.eot, np.int32)
             tinit[:, :sample_begin] = init_tokens
             tinit = jnp.asarray(tinit)
@@ -831,6 +827,24 @@ class SttEngine:
                 )
             )
         return out
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "quantize"))
+def _encode_audio_op(cfg, params, audio, quantize: bool):
+    """Fused serving frontend: [B, N_SAMPLES] audio → (quantized)
+    cross-attention K/V in one executable."""
+    from ..models.whisper import encoder_apply, precompute_xa_kv
+
+    mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
+    xa = precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel))
+    if quantize:
+        from ..ops.quant import quantize_xa_kv
+
+        return quantize_xa_kv(xa)
+    return xa
 
 
 def _compression_ratio(text: str) -> float:
