@@ -277,6 +277,15 @@ def _split_heads(x, n_head):
 
 
 _flash_attn_enabled: Optional[bool] = None
+_unroll_layers: bool = True
+
+
+def set_unroll_layers(enabled: bool):
+    """Unroll the decode step's layer scan into a static python loop.
+    Measured ~0.5 ms/step faster than lax.scan at large-v3 B=8 (no scan
+    per-iteration machinery); costs longer XLA compiles. Default on."""
+    global _unroll_layers
+    _unroll_layers = enabled
 
 
 def set_flash_attn(enabled: Optional[bool]):
@@ -708,11 +717,19 @@ def decoder_step(
         hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
         return (hx, k_all, v_all), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        block,
-        (x, kv_cache["k"], kv_cache["v"]),
-        (dec["blocks"], xa_kv, jnp.arange(cfg.n_text_layer)),
-    )
+    carry = (x, kv_cache["k"], kv_cache["v"])
+    if _unroll_layers:
+        # Static python loop: no scan machinery, static-index cache
+        # updates. ~0.5 ms/step faster at large-v3 B=8; longer compiles.
+        for i in range(cfg.n_text_layer):
+            layer_i = jax.tree.map(lambda a: a[i], dec["blocks"])
+            xa_i = jax.tree.map(lambda a: a[i], xa_kv)
+            carry, _ = block(carry, (layer_i, xa_i, jnp.int32(i)))
+        x, new_k, new_v = carry
+    else:
+        (x, new_k, new_v), _ = jax.lax.scan(
+            block, carry, (dec["blocks"], xa_kv, jnp.arange(cfg.n_text_layer))
+        )
     x = layer_norm(x, dec["ln"])
     logits = tied_logits(x, dec)[:, 0]
     return logits, {"k": new_k, "v": new_v}

@@ -5,6 +5,10 @@ simulated real time — the reference's streaming cadence
 first-token latency as the streaming metric).
 
 Prints one JSON line per metric. BENCH_MODEL=test for a quick run.
+
+Caveat: with random weights decodes rarely hit EOT, so every tick pays a
+full 224-token decode — the numbers are an upper bound; real checkpoints
+terminate after a handful of tokens per 500 ms buffer.
 """
 
 from __future__ import annotations
