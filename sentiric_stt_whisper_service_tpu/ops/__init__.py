@@ -8,6 +8,13 @@ from .mel import (  # noqa: F401
     mel_filterbank,
     pad_or_trim,
 )
+from .quant import (  # noqa: F401
+    fuse_decoder_qkv,
+    is_quantized,
+    quantize_params,
+    quantize_weight,
+    quantize_xa_kv,
+)
 
 
 def compute_log_mel(audio, n_mels: int = 80, dtype=None):

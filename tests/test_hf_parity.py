@@ -104,3 +104,32 @@ def test_decoder_logits_match_hf(hf_model, mapped, rng):
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
     # argmax agreement at every position (what decoding actually consumes)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_stepwise_decode_matches_hf(hf_model, mapped, rng):
+    """Teacher-forced token-by-token decode through the FUSED single-token
+    step (decoder_apply T=1 → decoder_step: unrolled layers, KF cross slab,
+    position-major cache appends) against HF's full-sequence logits."""
+    cfg, params = mapped
+    audio = (rng.standard_normal(480000) * 0.1).astype(np.float32)
+    mel = np.asarray(log_mel_spectrogram(audio))
+    dec_ids = np.array([[50258, 50259, 50359, 123, 4567, 891]], np.int64)
+    with torch.no_grad():
+        want = hf_model(
+            input_features=torch.from_numpy(mel.T[None]).float(),
+            decoder_input_ids=torch.from_numpy(dec_ids),
+        ).logits.numpy()[0]
+
+    xa = encoder_apply(cfg, params, jnp.asarray(mel[None]))
+    xa_kv = precompute_xa_kv(cfg, params, xa)
+    kv = init_kv_cache(cfg, 1, 64)
+    got = []
+    for i in range(dec_ids.shape[1]):
+        logits, kv, _ = decoder_apply(
+            cfg, params, jnp.asarray(dec_ids[:, i : i + 1], jnp.int32),
+            jnp.int32(i), kv, xa_kv,
+        )
+        got.append(np.asarray(logits)[0, 0])
+    got = np.stack(got)
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
