@@ -110,6 +110,8 @@ def fuse_decoder_qkv(params: Any) -> Any:
     dec = dict(params["decoder"])
     blocks = dict(dec["blocks"])
     attn = blocks["attn"]
+    if "qkv" in attn:  # already fused
+        return params
     q, k, v = attn["q"], attn["k"], attn["v"]
     fused: dict = {}
     if "w_q" in q:
