@@ -5,19 +5,23 @@ Replaces the whisper.cpp model stack the reference links against
 design is TPU-first, not a port:
 
   * Parameters are a plain pytree of stacked per-layer arrays
-    (``[n_layers, ...]``) so the transformer body is a single
-    ``jax.lax.scan`` — O(1) HLO size in depth, fast compiles, and sharding
-    is one ``NamedSharding`` per stacked leaf (tensor parallelism shards the
-    head/ffn axes; see ``parallel/``).
+    (``[n_layers, ...]``): the encoder body is a single ``jax.lax.scan``,
+    the decode step optionally unrolls (``set_unroll_layers``), and
+    sharding is one ``NamedSharding`` per stacked leaf (tensor parallelism
+    shards the head/ffn axes; see ``parallel/``).
   * All attention runs in bf16 with fp32 softmax; matmuls are shaped
     [B*T, d] x [d, d] so XLA tiles them onto the MXU.
-  * Decode is incremental with a static-shape KV cache slab
-    ``[n_layers, batch, n_text_ctx, heads, head_dim]`` — slots are written
-    with ``dynamic_update_slice`` at the current position, enabling the
-    continuous batcher to recycle slots without recompilation.
-  * Cross-attention K/V are precomputed once per 30 s window and reused for
-    every decode step (the reference gets this for free inside whisper.cpp;
-    here it is explicit and batched).
+  * KV layouts are WRITE-DRIVEN (measured on chip, docs/PERF.md): the
+    mutable self cache is position-major ``[L, B, H, cache_len, hd]`` so
+    per-step appends land on the sublane axis (the only cheap direction in
+    the tiled memory), and the big read-only cross slab is lane-major "KF"
+    ``[L, B, H, hd, 1500]`` so hd=64 doesn't waste half of every vector.
+    Static shapes throughout: the continuous batcher recycles slots (and
+    rotates a global ring row) without recompiling.
+  * Cross-attention K/V are precomputed once per 30 s window — optionally
+    int8 with per-position scales (ops/quant.py) — and streamed every
+    decode step (the reference gets this for free inside whisper.cpp;
+    here it is explicit, batched, and quantized).
 
 Architecture numerics follow openai-whisper: conv1(k3,s1)+GELU,
 conv2(k3,s2)+GELU, sinusoidal audio positions, pre-LN blocks with
