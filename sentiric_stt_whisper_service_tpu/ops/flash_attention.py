@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 256
+BLOCK_Q = 768  # swept on chip: 128/256/512/768 -> 223/206/202/200 ms per 8-window encoder
 
 
 def _round_up(x: int, m: int) -> int:
