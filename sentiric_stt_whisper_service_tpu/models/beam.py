@@ -3,9 +3,15 @@
 Covers the reference's beam strategy selection (whisper.cpp
 WHISPER_SAMPLING_BEAM_SEARCH when beam_size > 1,
 /root/reference/src/stt_engine.cpp:210-212,234-238). The whole search —
-expansion, candidate scoring, beam reordering, KV-cache gather — runs in a
-single jitted ``lax.while_loop``; beams ride the batch dimension
-([B*K] flattened) so every decoder step is one MXU-shaped call.
+expansion, candidate scoring, beam reordering — runs in a single jitted
+``lax.while_loop``; beams ride the batch dimension ([B*K] flattened) so
+every decoder step is one MXU-shaped call.
+
+The KV plumbing is gather-free (``decoder_step_beam``): each beam appends
+into its own physical cache slot and parent adoption only rewrites a tiny
+ancestry mask, while the cross-attention slab is shared across beams
+instead of tiled K× — the two HBM-traffic sinks of the naive formulation
+(docs/PERF.md "Beam path").
 
 Semantics follow openai-whisper's BeamSearchDecoder: candidates scored by
 cumulative logprob; a beam that emits EOT is frozen (it competes as a
@@ -31,7 +37,12 @@ from .sampling import (
     apply_timestamp_rules,
     prompt_bucket,
 )
-from .whisper import WhisperConfig, decoder_apply, init_kv_cache
+from .whisper import (
+    WhisperConfig,
+    decoder_apply,
+    decoder_step_beam,
+    init_kv_cache,
+)
 
 
 def decode_window_beam(
@@ -88,19 +99,34 @@ def _decode_window_beam_impl(
     BK = B * K
     cache_len = min(ctx, -(-max_len // 64) * 64)  # position-major: sublane-axis slab
 
-    def tile_beams(x, axis):
-        """[.., B, ..] → [.., B*K, ..] repeating each batch item K times."""
-        return jnp.repeat(x, K, axis=axis)
-
-    xa_kv_bk = {k: tile_beams(v, 1) for k, v in xa_kv.items()}
-    tokens = tile_beams(tokens_init, 0)  # [BK, ctx]
-    kv = init_kv_cache(cfg, BK, cache_len)
-
-    prefill_logits, kv, _ = decoder_apply(
-        cfg, params, tokens[:, :prefill_len], jnp.int32(0), kv, xa_kv_bk
+    # Prefill ONCE at batch B (all beams are identical before sampling), then
+    # place the prefilled cache in each item's physical slot 0; the ancestry
+    # mask points every beam at slot 0 for prompt positions, so the prefix is
+    # never tiled. The cross slab stays untiled forever — decoder_step_beam
+    # shares it across beams (docs/PERF.md beam-path redesign).
+    kv_b = init_kv_cache(cfg, B, cache_len)
+    prefill_logits, kv_b, _ = decoder_apply(
+        cfg, params, tokens_init[:, :prefill_len], jnp.int32(0), kv_b, xa_kv
     )
+    # Slot cache [L, B*K, H, C, hd] (decoder_step_beam): the prefilled
+    # prompt lives in each item's physical slot 0; other slots fill as
+    # beams append.
+    kv = {
+        name: jnp.zeros((v.shape[0], B, K) + v.shape[2:], v.dtype)
+        .at[:, :, 0]
+        .set(v)
+        .reshape((v.shape[0], BK) + v.shape[2:])
+        for name, v in kv_b.items()
+    }
+    # anc[b, kd, ks, c]: beam kd reads position c from physical slot ks.
+    anc = (jnp.arange(K) == 0)[None, None, :, None] & (
+        jnp.arange(cache_len) < sample_begin
+    )[None, None, None, :]
+    anc = jnp.broadcast_to(anc, (B, K, K, cache_len))
+
+    tokens = jnp.repeat(tokens_init, K, axis=0)  # [BK, ctx]
     probs_at_sot = jax.nn.softmax(prefill_logits[:, sot_index], axis=-1)
-    no_speech_probs = probs_at_sot[::K, ids.no_speech]  # [B]
+    no_speech_probs = probs_at_sot[:, ids.no_speech]  # [B]
 
     V = cfg.n_vocab
 
@@ -113,8 +139,10 @@ def _decode_window_beam_impl(
             logits = apply_timestamp_rules(logits, tokens, pos, sample_begin, ids)
         return logits
 
+    eye_k = jnp.eye(K, dtype=bool)
+
     def step_fn(state):
-        tokens, kv, pos, done, sum_lp, tok_lps, last_logits = state
+        tokens, kv, anc, pos, done, sum_lp, tok_lps, last_logits = state
         # done: [BK] — beam finished (emitted EOT earlier).
         logits = process_logits(last_logits, tokens, pos)  # [BK, V]
         logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -142,13 +170,20 @@ def _decode_window_beam_impl(
         )  # [B, K]
         lp_sel = jnp.take_along_axis(top_lp.reshape(B, K * K), best_idx, axis=1)
 
-        # Gather beam state by parent index (flattened indices).
+        # Gather beam state by parent index (flattened indices). The KV
+        # cache is NEVER gathered: each beam owns a physical slot and only
+        # the ancestry mask (~90 KB) adopts the parent's read path.
         gather_idx = (jnp.arange(B)[:, None] * K + parent).reshape(BK)
         tokens = tokens[gather_idx]
         tok_lps = tok_lps[gather_idx]
         done = done[gather_idx]
         sum_lp = best_scores.reshape(BK)
-        kv = {k: v[:, gather_idx] for k, v in kv.items()}
+        anc = anc[jnp.arange(B)[:, None], parent]  # [B, K, K, C]
+        # Beam kd's next K/V row lands in ITS slot kd at position pos.
+        anc = anc | (
+            eye_k[None, :, :, None]
+            & (jnp.arange(anc.shape[-1]) == pos)[None, None, None, :]
+        )
 
         next_tok = tok_sel.reshape(BK).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice_in_dim(
@@ -159,28 +194,32 @@ def _decode_window_beam_impl(
         )
         done = done | (next_tok == ids.eot)
 
-        step_logits, kv, _ = decoder_apply(
-            cfg, params, jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1),
-            pos, kv, xa_kv_bk,
+        step_logits, kv = decoder_step_beam(
+            cfg, params, next_tok, pos, kv, xa_kv, anc, K
         )
-        return tokens, kv, pos + 1, done, sum_lp, tok_lps, step_logits[:, 0]
+        return tokens, kv, anc, pos + 1, done, sum_lp, tok_lps, step_logits
 
     def cond_fn(state):
-        pos, done = state[2], state[3]
+        pos, done = state[3], state[4]
         return (pos < max_len) & ~jnp.all(done)
 
     state = (
         tokens,
         kv,
+        anc,
         sample_begin,
         jnp.zeros((BK,), bool),
         jnp.zeros((BK,), jnp.float32),
         jnp.zeros((BK, ctx), jnp.float32),
-        jax.lax.dynamic_slice_in_dim(
-            prefill_logits, sample_begin - 1, 1, axis=1
-        )[:, 0],
+        jnp.repeat(
+            jax.lax.dynamic_slice_in_dim(
+                prefill_logits, sample_begin - 1, 1, axis=1
+            )[:, 0],
+            K,
+            axis=0,
+        ),
     )
-    tokens, kv, pos, done, sum_lp, tok_lps, _ = jax.lax.while_loop(
+    tokens, kv, anc, pos, done, sum_lp, tok_lps, _ = jax.lax.while_loop(
         cond_fn, step_fn, state
     )
 

@@ -739,6 +739,133 @@ def decoder_step(
     return logits, {"k": new_k, "v": new_v}
 
 
+def decoder_step_beam(
+    cfg: WhisperConfig,
+    params: Params,
+    tokens: jnp.ndarray,  # [B*K] int32: one new token per beam
+    pos: jnp.ndarray,  # scalar int32 (beams decode in lockstep)
+    kv_cache: dict,  # [L, B*K, H, C, hd] position-major; slot = b*K + k
+    xa_kv: dict,  # [L, B, H, hd, 1500] KF — UNTILED, shared across beams
+    anc_mask: jnp.ndarray,  # [B, K, K, C] bool: anc[b,kd,ks,c] = beam kd
+    #   reads position c from physical slot ks (exactly one ks per valid c)
+    beam_size: int,
+):
+    """Beam-search decode step with no KV reordering (docs/PERF.md).
+
+    The naive beam step gathers the whole self cache by parent every
+    iteration (~a full slab read+write per step) and tiles the cross slab
+    K× — both pure HBM traffic on a bandwidth-bound step. This version
+    spends FLOPs instead, which are nearly free at M≤K on the MXU:
+
+      * SELF: each beam appends K/V to its OWN physical slot, forever.
+        Ancestry lives in a tiny one-hot mask [B, K, K, C] (~90 KB at
+        large-v3 B=8 K=5). Attention contracts every destination beam
+        against ALL K source slots in one dot_general ([B,H] batch,
+        M=K_dst) — the slab is read ONCE for all destinations, so traffic
+        equals a single plain attention read — then the mask selects the
+        unique (slot, position) pairs on the beam's ancestry path before
+        a joint softmax over (K_src, C). K× FLOPs, 1× bandwidth, and the
+        parent "reorder" becomes a [B,K,K,C] boolean gather.
+        (An alternative [L,B,H,K,C,hd] "beam-slot" layout that flattens to
+        standard [B,H,K*C,hd] attention measured 3.5× SLOWER on chip —
+        the 6-D interior-dim DUS defeats Mosaic; keep the 5-D slab.)
+      * CROSS: all beams of a batch item attend the SAME audio window, so
+        the (possibly int8) KF slab is never tiled: queries reshape to
+        [B, H, K, hd] and the contraction serves all K beams from one
+        slab read — K× less cross bandwidth AND a better MXU shape
+        (M=K instead of M=1).
+
+    Returns (logits [B*K, V] fp32, new_kv_cache)."""
+    dec = params["decoder"]
+    S = tokens.shape[0]
+    K = beam_size
+    B = S // K
+    h = cfg.n_text_head
+    d = cfg.n_text_state
+    hd = d // h
+    scale = hd**-0.25
+
+    x = embed_tokens(dec, tokens) + dec["pos_emb"][pos][None]  # [S, d]
+    x = x[:, None, :].astype(cfg.dtype)  # [S, 1, d]
+
+    mask = anc_mask[:, None]  # [B, 1, Kd, Ks, C] — broadcast over heads
+
+    def block(carry, inputs):
+        hx, k_all, v_all = carry
+        layer, xa, li = inputs
+        y = layer_norm(hx, layer["attn_ln"])
+
+        def heads1(z):  # [S,1,d] → [S,H,hd]
+            return z.reshape(S, h, hd)
+
+        if "qkv" in layer["attn"]:  # fused projection (ops/quant.py)
+            qkv = dense(y, layer["attn"]["qkv"])
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
+        else:
+            qp = dense(y, layer["attn"]["q"])
+            kp = dense(y, layer["attn"]["k"])
+            vp = dense(y, layer["attn"]["v"])
+        # Lockstep append into each beam's own slot: one shared-offset DUS.
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, heads1(kp)[None, :, :, None, :].astype(k_all.dtype),
+            (li, 0, 0, pos, 0),
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, heads1(vp)[None, :, :, None, :].astype(v_all.dtype),
+            (li, 0, 0, pos, 0),
+        )
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+        C = k_cache.shape[2]
+        k_view = k_cache.reshape(B, K, h, C, hd)
+        v_view = v_cache.reshape(B, K, h, C, hd)
+        q = (heads1(qp) * (scale * scale)).reshape(B, K, h, hd)
+        # [B,Kd,H,hd] x [B,Ks,H,C,hd] → [B,H,Kd,Ks,C]; the k slab is one
+        # operand shared by all Kd rows — read once per (B,H) program.
+        scores = jax.lax.dot_general(
+            q, k_view,
+            dimension_numbers=(((3,), (4,)), ((0, 2), (0, 2))),
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        w = jax.nn.softmax(
+            scores.reshape(B, h, K, K * C), axis=-1
+        ).reshape(B, h, K, K, C)
+        sa = jax.lax.dot_general(
+            w.astype(v_view.dtype), v_view,
+            dimension_numbers=(((3, 4), (1, 3)), ((0, 1), (0, 2))),
+            preferred_element_type=jnp.float32,
+        )  # [B,H,Kd,hd]
+        sa = sa.astype(hx.dtype).transpose(0, 2, 1, 3).reshape(S, 1, d)
+        hx = hx + dense(sa, layer["attn"]["o"])
+
+        # Cross-attention: K beam queries against ONE untiled KF slab.
+        y = layer_norm(hx, layer["cross_attn_ln"])
+        q = dense(y, layer["cross_attn"]["q"]).reshape(B, K, h, hd)
+        q = q.transpose(0, 2, 1, 3)  # [B,H,K,hd]
+        ca, _ = _attend_xa(q, xa, scale)
+        ca = ca.transpose(0, 2, 1, 3).reshape(S, 1, d)
+        hx = hx + dense(ca.astype(hx.dtype), layer["cross_attn"]["o"])
+
+        hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
+        return (hx, k_all, v_all), None
+
+    carry = (x, kv_cache["k"], kv_cache["v"])
+    if _unroll_layers:
+        for i in range(cfg.n_text_layer):
+            layer_i = jax.tree.map(lambda a: a[i], dec["blocks"])
+            xa_i = jax.tree.map(lambda a: a[i], xa_kv)
+            carry, _ = block(carry, (layer_i, xa_i, jnp.int32(i)))
+        x, new_k, new_v = carry
+    else:
+        (x, new_k, new_v), _ = jax.lax.scan(
+            block, carry, (dec["blocks"], xa_kv, jnp.arange(cfg.n_text_layer))
+        )
+    x = layer_norm(x, dec["ln"])
+    logits = tied_logits(x, dec)[:, 0]
+    return logits, {"k": new_k, "v": new_v}
+
+
 def param_count(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
