@@ -776,6 +776,9 @@ def decoder_step_beam(
         (M=K instead of M=1).
 
     Returns (logits [B*K, V] fp32, new_kv_cache)."""
+    from ..ops.beam_attention import beam_attention as beam_attn
+    from ..ops.beam_attention import beam_attention_reference as beam_attn_ref
+
     dec = params["decoder"]
     S = tokens.shape[0]
     K = beam_size
@@ -787,8 +790,6 @@ def decoder_step_beam(
 
     x = embed_tokens(dec, tokens) + dec["pos_emb"][pos][None]  # [S, d]
     x = x[:, None, :].astype(cfg.dtype)  # [S, 1, d]
-
-    mask = anc_mask[:, None]  # [B, 1, Kd, Ks, C] — broadcast over heads
 
     def block(carry, inputs):
         hx, k_all, v_all = carry
@@ -816,28 +817,15 @@ def decoder_step_beam(
         )
         k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
-        C = k_cache.shape[2]
-        k_view = k_cache.reshape(B, K, h, C, hd)
-        v_view = v_cache.reshape(B, K, h, C, hd)
-        q = (heads1(qp) * (scale * scale)).reshape(B, K, h, hd)
-        # [B,Kd,H,hd] x [B,Ks,H,C,hd] → [B,H,Kd,Ks,C]; the k slab is one
-        # operand shared by all Kd rows — read once per (B,H) program.
-        scores = jax.lax.dot_general(
-            q, k_view,
-            dimension_numbers=(((3,), (4,)), ((0, 2), (0, 2))),
-            preferred_element_type=jnp.float32,
-        )
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-        w = jax.nn.softmax(
-            scores.reshape(B, h, K, K * C), axis=-1
-        ).reshape(B, h, K, K, C)
-        sa = jax.lax.dot_general(
-            w.astype(v_view.dtype), v_view,
-            dimension_numbers=(((3, 4), (1, 3)), ((0, 1), (0, 2))),
-            preferred_element_type=jnp.float32,
-        )  # [B,H,Kd,hd]
-        sa = sa.astype(hx.dtype).transpose(0, 2, 1, 3).reshape(S, 1, d)
-        hx = hx + dense(sa, layer["attn"]["o"])
+        # On TPU: the fused Pallas kernel keeps the [B,H,Kd,Ks,C] score
+        # chain in VMEM (15.1 → 6.1 ms/step over the 32-layer stack,
+        # tools/bench_beam_attn.py); elsewhere the XLA twin.
+        attend = beam_attn if _use_flash() else beam_attn_ref
+        sa = attend(
+            heads1(qp), k_cache, v_cache, anc_mask, K, scale=scale * scale
+        )  # [S, H, hd]
+        sa = sa.reshape(S, 1, d)
+        hx = hx + dense(sa.astype(hx.dtype), layer["attn"]["o"])
 
         # Cross-attention: K beam queries against ONE untiled KF slab.
         y = layer_norm(hx, layer["cross_attn_ln"])

@@ -107,3 +107,20 @@ def test_longform_multiple_windows():
     times = [(r.t0, r.t1) for r in res]
     assert all(t1 >= t0 for t0, t1 in times)
     assert all(b[0] >= a[0] for a, b in zip(times, times[1:]))
+
+
+def test_beam_decode_through_engine():
+    """The reference's DEFAULT config is beam_size=5 (config.h:52) — the
+    engine must route temperature-0 requests through the beam path and
+    produce well-formed segments (or none, under random-weight gates)."""
+    s = Settings(enable_vad=False, beam_size=5, parallel_requests=1)
+    eng = SttEngine(s, model_name="test", random_init=True)
+    m = PerformanceMetrics()
+    res = eng.transcribe(
+        make_speechlike(2.0), 16000, RequestOptions(language="en"), m
+    )
+    assert isinstance(res, list)
+    assert m.processing_time_ms > 0
+    for r in res:
+        assert r.t1 >= r.t0 >= 0
+        assert 0.0 <= r.prob <= 1.0
