@@ -28,8 +28,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, l_valid: int):
-    """One (batch·head, q-block) program: full attention for BLOCK_Q rows."""
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """One (batch·head, q-block) program: full attention for BLOCK_Q rows.
+
+    Normalization is deferred: the 1/sum divide runs on the [BLOCK_Q, d]
+    output instead of the [BLOCK_Q, L_pad] fp32 score tile (4.7 MB at the
+    large-v3 shape — the kernel is VPU-bound on elementwise passes over it,
+    ~22 TFLOPS, so every saved pass counts). The pad mask is a precomputed
+    additive bias row (no per-program iota/where pass)."""
     q = q_ref[0]  # [BLOCK_Q, d]
     k = k_ref[0]  # [L_pad, d]
     v = v_ref[0]
@@ -38,19 +44,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, l_valid: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BLOCK_Q, L_pad]
-    l_pad = scores.shape[-1]
-    if l_valid < l_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < l_valid, scores, jnp.float32(-1e30))
+    scores = scores + bias_ref[...]  # [1, L_pad] broadcast
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
-    w = (e / s).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        w, v,
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )  # [BLOCK_Q, d]
+    o_ref[0] = (o / s).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -72,10 +75,11 @@ def flash_attention(
     qf = q.reshape(bh, l_pad, d)
     kf = k.reshape(bh, l_pad, d)
     vf = v.reshape(bh, l_pad, d)
+    bias = jnp.where(jnp.arange(l_pad) < L, 0.0, -1e30).astype(jnp.float32)[None]
 
     grid = (bh, l_pad // BLOCK_Q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, l_valid=L),
+        _attn_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -90,6 +94,9 @@ def flash_attention(
                 (1, l_pad, d), lambda b, i: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, l_pad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -101,7 +108,7 @@ def flash_attention(
             transcendentals=bh * l_pad * l_pad,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, kf, vf, bias)
     return out.reshape(B, H, l_pad, d)[:, :, :L]
 
 
