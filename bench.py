@@ -42,7 +42,7 @@ def main():
 
     cfg = config_for(model_name)
     params = init_params(cfg, jax.random.key(0))
-    if compute.startswith("int8"):
+    if compute.startswith(("int8", "int4")):
         from sentiric_stt_whisper_service_tpu.models.whisper import encode_xa_kv_q
         from sentiric_stt_whisper_service_tpu.ops.quant import (
             fuse_decoder_qkv,
@@ -50,7 +50,12 @@ def main():
         )
 
         params = jax.block_until_ready(fuse_decoder_qkv(quantize_params(params)))
-        encode_xa_kv = encode_xa_kv_q  # noqa: F811 — quantized KV variant
+        kv_bits = 4 if compute.startswith("int4") else 8
+        # int4: packed cross-KV carrier, unpacked to native int4 inside
+        # decode_window — quarters the dominant per-step slab traffic.
+        encode_xa_kv = (  # noqa: F811 — quantized KV variant
+            lambda cfg, p, mel: encode_xa_kv_q(cfg, p, mel, kv_bits)
+        )
     tok = fallback_tokenizer(cfg.n_vocab)
     ids = TokenIds.from_tokenizer(tok)
     sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, tok.non_speech_tokens))

@@ -94,6 +94,9 @@ def _decode_window_beam_impl(
     use_timestamps: bool,
     prefill_len: int,
 ) -> DecodeResult:
+    from ..ops.quant import unpack_xa_kv
+
+    xa_kv = unpack_xa_kv(xa_kv)  # int4 carrier → native int4, pre-loop
     B, ctx = tokens_init.shape
     K = beam_size
     BK = B * K

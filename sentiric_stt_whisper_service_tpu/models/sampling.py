@@ -212,10 +212,12 @@ def detect_language(
 
     Returns [B, n_langs] probabilities (whisper's detect_language;
     SURVEY.md §2.3 'language auto-detect')."""
+    from ..ops.quant import unpack_xa_kv
     from .whisper import xa_batch_size
 
+    xa_kv = unpack_xa_kv(xa_kv)
     B = xa_batch_size(xa_kv)
-    kv = init_kv_cache(cfg, B, 64)
+    kv = init_kv_cache(cfg, B, 64, paired=True)
     tokens = jnp.full((B, 1), sot, jnp.int32)
     logits, _, _ = decoder_apply(cfg, params, tokens, jnp.int32(0), kv, xa_kv)
     lang_logits = jax.lax.dynamic_slice_in_dim(
@@ -307,13 +309,20 @@ def _decode_window_impl(
     use_timestamps: bool,
     prefill_len: int,
 ) -> DecodeResult:
+    from ..ops.quant import unpack_xa_kv
+
+    # int4 carrier → native int4 slab, ONCE per window (outside the token
+    # loop): the while_loop below then streams nibble-packed bytes.
+    xa_kv = unpack_xa_kv(xa_kv)
     B = tokens_init.shape[0]
     ctx = cfg.n_text_ctx
     # Right-size the self-attention KV slab: every decode step reads the
     # whole slab from HBM, so a 448-slot slab for a 140-token decode would
     # triple that traffic.
     cache_len = min(ctx, -(-max_len // 64) * 64)  # position-major: sublane-axis slab
-    kv = init_kv_cache(cfg, B, cache_len)
+    # Head-paired slab: full 128-lane rows, 2x effective read bandwidth
+    # (init_kv_cache; tools/bench_self_layout.py).
+    kv = init_kv_cache(cfg, B, cache_len, paired=True)
 
     # --- prefill the prompt (bucketed static length; tail is EOT pad) ---
     prefill_logits, kv, _ = decoder_apply(

@@ -37,6 +37,9 @@ def alignment_scores(
 
     Without a model-specific alignment-head dump, heads from the upper half
     of decoder layers are used (openai-whisper's generic fallback)."""
+    from ..ops.quant import unpack_xa_kv
+
+    xa_kv = unpack_xa_kv(xa_kv)  # int4 carrier → native int4 in-jit
     B, T = tokens.shape
     kv = init_kv_cache(cfg, B, max(64, -(-T // 64) * 64))
     _, _, cross_w = decoder_apply(

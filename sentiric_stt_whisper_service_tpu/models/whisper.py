@@ -382,26 +382,65 @@ def _conv1d(x, w, b, stride: int):
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(cfg: WhisperConfig, batch: int, cache_len: Optional[int] = None) -> dict:
-    """Static self-attention KV slab, position-major: [L, B, H, C, hd].
+def init_kv_cache(
+    cfg: WhisperConfig,
+    batch: int,
+    cache_len: Optional[int] = None,
+    paired: bool = False,
+) -> dict:
+    """Static self-attention KV slab, position-major.
 
     Layout choice is write-driven: every decode step appends one K/V row
     per layer at a dynamic position. With the position axis on SUBLANES the
     append is a cheap masked vector store; on the 128-LANE axis it is
     physically impossible to address (Mosaic: DMA slices on the lane dim
     must be 128-aligned) and XLA's fallbacks cost ~7 ms/step (docs/PERF.md).
-    The read-side penalty (hd=64 wastes half of each lane vector) is small
-    because the self slab is short (≤448). The big READ-ONLY cross slab
-    (1500 positions) uses the opposite "KF" layout — see
-    :func:`precompute_xa_kv`."""
-    shape = (
-        cfg.n_text_layer,
-        batch,
-        cfg.n_text_head,
-        cache_len or cfg.n_text_ctx,
-        cfg.n_text_state // cfg.n_text_head,
-    )
+
+    ``paired=False`` → ``[L, B, H, C, hd]``. With hd = 64 the minor (lane)
+    axis is HALF PADDING in the tiled memory: the slab physically streams
+    2× its nominal bytes every step (measured 333 GB/s nominal,
+    tools/bench_self_layout.py).
+
+    ``paired=True`` → ``[L, B, H/2, C, 2·hd]``: adjacent heads share a
+    128-lane row ``[x_h0 | x_h1]``. Appends still write one full row;
+    reads fill every lane (678 GB/s nominal — 2× faster, exact numerics
+    via zero-padded M=2 queries, see ``decoder_step``). Used by the greedy
+    decode path; the beam kernel and the batcher's ring cache keep the
+    unpaired form."""
+    hd = cfg.n_text_state // cfg.n_text_head
+    if paired and cfg.n_text_head % 2 == 0:
+        shape = (
+            cfg.n_text_layer,
+            batch,
+            cfg.n_text_head // 2,
+            cache_len or cfg.n_text_ctx,
+            2 * hd,
+        )
+    else:
+        shape = (
+            cfg.n_text_layer,
+            batch,
+            cfg.n_text_head,
+            cache_len or cfg.n_text_ctx,
+            hd,
+        )
     return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+
+
+def _is_paired_cache(kv_cache: dict, hd: int) -> bool:
+    return kv_cache["k"].shape[-1] == 2 * hd
+
+
+def _pair_queries(qr: jnp.ndarray) -> jnp.ndarray:
+    """[.., 2, hd] head-pair queries → [.., 2, 2·hd] zero-padded rows
+    ([q_h0 | 0], [0 | q_h1]) so one contraction over the paired slab
+    yields both heads' scores (the cross terms hit zeros)."""
+    z = jnp.zeros_like(qr[..., :1, :])
+    row0 = jnp.concatenate([qr[..., :1, :], z], axis=-1)
+    row1 = jnp.concatenate([z, qr[..., 1:, :]], axis=-1)
+    return jnp.concatenate([row0, row1], axis=-2)
+
+
 
 
 def precompute_xa_kv(cfg: WhisperConfig, params: Params, xa: jnp.ndarray) -> dict:
@@ -444,8 +483,8 @@ def _attend(q, k, v, mask=None):
 
 
 def xa_batch_size(xa_kv: dict) -> int:
-    """Batch dim of a cross-attention KV dict (bf16 or int8 format)."""
-    leaf = xa_kv["k_q"] if "k_q" in xa_kv else xa_kv["k"]
+    """Batch dim of a cross-attention KV dict (bf16 / int8 / packed int4)."""
+    leaf = xa_kv.get("k_q", xa_kv.get("k_p", xa_kv.get("k")))
     return leaf.shape[1]
 
 
@@ -476,7 +515,15 @@ def _attend_xa(q, xa: dict, scale):
     (ops/quant.py). The quantized path never materializes a bf16 copy of
     the slab: per-position k_scale multiplies the score matrix after the
     q·k contraction; v_scale folds into the softmax weights. Returns
-    (out [B,H,T,hd], weights fp32 [B,H,T,F])."""
+    (out [B,H,T,hd], weights fp32 [B,H,T,F]).
+
+    A packed-int4 carrier ("k_p", ops/quant.py) is unpacked here lazily —
+    loop-based callers (decode_window/beam) unpack ONCE before their token
+    loop instead, so this path only triggers on one-shot prefills."""
+    if "k_p" in xa:
+        from ..ops.quant import unpack_xa_kv
+
+        xa = unpack_xa_kv(xa)
     if "k_q" not in xa:
         return _attend_kf(q * (scale * scale), xa["k"], xa["v"])
     scores = jax.lax.dot_general(
@@ -507,6 +554,10 @@ def _attend_xa_step(q1, xa: dict, scale):
     programs don't pipeline as well as XLA's fused batched contraction)."""
     from ..ops.decode_attention import decode_attention_reference
 
+    if "k_p" in xa:  # packed-int4 carrier (see _attend_xa)
+        from ..ops.quant import unpack_xa_kv
+
+        xa = unpack_xa_kv(xa)
     s2 = scale * scale
     if "k_q" in xa:
         return decode_attention_reference(
@@ -560,7 +611,9 @@ def decoder_apply(
     self_mask = (kpos <= qpos)[None, None]  # [1, 1, T, cache_len]
 
     d = cfg.n_text_state
-    scale = (d // h) ** -0.25
+    hd = d // h
+    scale = hd**-0.25
+    paired = _is_paired_cache(kv_cache, hd)
 
     def to_heads(y):  # [B,T,d] → head-major [B,H,T,c]
         return _split_heads(y, h).transpose(0, 2, 1, 3)
@@ -581,19 +634,59 @@ def decoder_apply(
             qp = dense(y, layer["attn"]["q"])
             kp = dense(y, layer["attn"]["k"])
             vp = dense(y, layer["attn"]["v"])
-        q = to_heads(qp)
-        k_new = to_heads(kp)  # [B,H,T,hd]
-        v_new = to_heads(vp)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k_new[None].astype(k_all.dtype), (li, 0, 0, pos_offset, 0)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v_new[None].astype(v_all.dtype), (li, 0, 0, pos_offset, 0)
-        )
-        k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
-        sa, _ = _attend(q * (scale * scale), k_cache, v_cache, self_mask)
-        sa = sa.transpose(0, 2, 1, 3).reshape(B, T, d)
+        if paired:
+            # Head-paired slab (see decoder_step): rows [x_h0 | x_h1],
+            # M = 2·T zero-padded queries, one slab read per layer.
+            hp = h // 2
+            k_row = kp.reshape(B, T, hp, 2 * hd).transpose(0, 2, 1, 3)
+            v_row = vp.reshape(B, T, hp, 2 * hd).transpose(0, 2, 1, 3)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_row[None].astype(k_all.dtype), (li, 0, 0, pos_offset, 0)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_row[None].astype(v_all.dtype), (li, 0, 0, pos_offset, 0)
+            )
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            qr = qp.reshape(B, T, hp, 2, hd).transpose(0, 2, 3, 1, 4)
+            z = jnp.zeros_like(qr[:, :, :1])
+            q5 = jnp.concatenate(
+                [
+                    jnp.concatenate([qr[:, :, :1], z], axis=-1),
+                    jnp.concatenate([z, qr[:, :, 1:]], axis=-1),
+                ],
+                axis=2,
+            )  # [B,Hp,2,T,2hd]
+            scores = jax.lax.dot_general(
+                (q5 * (scale * scale)).astype(k_cache.dtype), k_cache,
+                dimension_numbers=(((4,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            )  # [B,Hp,2,T,C]
+            scores = jnp.where(self_mask[:, :, None], scores, jnp.float32(-1e30))
+            aw = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+            out5 = jax.lax.dot_general(
+                aw, v_cache,
+                dimension_numbers=(((4,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            ).astype(hx.dtype)  # [B,Hp,2,T,2hd]
+            sa = jnp.concatenate(
+                [out5[:, :, 0, :, :hd], out5[:, :, 1, :, hd:]], axis=-1
+            )  # [B,Hp,T,2hd]
+            sa = sa.transpose(0, 2, 1, 3).reshape(B, T, d)
+        else:
+            q = to_heads(qp)
+            k_new = to_heads(kp)  # [B,H,T,hd]
+            v_new = to_heads(vp)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_new[None].astype(k_all.dtype), (li, 0, 0, pos_offset, 0)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_new[None].astype(v_all.dtype), (li, 0, 0, pos_offset, 0)
+            )
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            sa, _ = _attend(q * (scale * scale), k_cache, v_cache, self_mask)
+            sa = sa.transpose(0, 2, 1, 3).reshape(B, T, d)
         hx = hx + dense(sa, layer["attn"]["o"])
 
         # -- cross-attention against precomputed audio K/V (KF layout)
@@ -646,6 +739,7 @@ def decoder_step(
     d = cfg.n_text_state
     hd = d // h
     scale = hd**-0.25
+    paired = _is_paired_cache(kv_cache, hd)
     pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (S,))
 
     x = embed_tokens(dec, tokens) + dec["pos_emb"][pos_vec]  # [S, d]
@@ -704,13 +798,31 @@ def decoder_step(
             qp = dense(y, layer["attn"]["q"])
             kp = dense(y, layer["attn"]["k"])
             vp = dense(y, layer["attn"]["v"])
-        q = heads1(qp)[:, :, None, :]  # [S,H,1,hd]
-        k_all = write_slot(k_all, heads1(kp), li)
-        v_all = write_slot(v_all, heads1(vp), li)
-        k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
-        sa, _ = _attend(q * (scale * scale), k_cache, v_cache, self_mask)
-        sa = sa.transpose(0, 2, 1, 3).reshape(S, 1, d)
+        if paired:
+            # Head-paired slab [S, H/2, C, 2·hd] (init_kv_cache): full
+            # 128-lane rows, one DUS appends BOTH heads, and the M=2
+            # zero-padded query trick reads the slab once for both heads'
+            # scores — 2× the effective bandwidth of the hd=64 layout
+            # (tools/bench_self_layout.py; exact numerics).
+            k_all = write_slot(k_all, kp.reshape(S, h // 2, 2 * hd), li)
+            v_all = write_slot(v_all, vp.reshape(S, h // 2, 2 * hd), li)
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            q2 = _pair_queries(qp.reshape(S, h // 2, 2, hd))  # [S,Hp,2,2hd]
+            sa, _ = _attend(q2 * (scale * scale), k_cache, v_cache, self_mask)
+            # [S,Hp,2,2hd]: head 0 in lanes [:hd] of row 0, head 1 in
+            # [hd:] of row 1 (cross lanes are exact zeros of the pad).
+            sa = jnp.concatenate(
+                [sa[:, :, 0, :hd], sa[:, :, 1, hd:]], axis=-1
+            ).reshape(S, 1, d)
+        else:
+            q = heads1(qp)[:, :, None, :]  # [S,H,1,hd]
+            k_all = write_slot(k_all, heads1(kp), li)
+            v_all = write_slot(v_all, heads1(vp), li)
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            sa, _ = _attend(q * (scale * scale), k_cache, v_cache, self_mask)
+            sa = sa.transpose(0, 2, 1, 3).reshape(S, 1, d)
         hx = hx + dense(sa.astype(hx.dtype), layer["attn"]["o"])
 
         y = layer_norm(hx, layer["cross_attn_ln"])
@@ -871,14 +983,15 @@ encode_xa_kv = jax.jit(
 """Jitted encoder + cross-attention K/V precompute in one fused call."""
 
 
-def _encode_xa_kv_q(cfg, params, mel):
+def _encode_xa_kv_q(cfg, params, mel, bits: int = 8):
     from ..ops.quant import quantize_xa_kv
 
     return quantize_xa_kv(
-        precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel))
+        precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel)), bits
     )
 
 
-encode_xa_kv_q = jax.jit(_encode_xa_kv_q, static_argnums=0)
-"""Jitted encoder + int8-quantized cross-attention K/V (compute_type=int8):
-the slab every decode step streams from HBM is half the bytes."""
+encode_xa_kv_q = jax.jit(_encode_xa_kv_q, static_argnums=(0, 3))
+"""Jitted encoder + quantized cross-attention K/V (compute_type=int8/int4):
+the slab every decode step streams from HBM is half (int8) or a quarter
+(int4 packed carrier, ops/quant.py) of the bf16 bytes."""

@@ -27,6 +27,7 @@ Layouts:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -146,20 +147,78 @@ def is_quantized(params: Any) -> bool:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def quantize_xa_kv(xa_kv: dict) -> dict:
+@functools.partial(jax.jit, static_argnames=("bits",))
+def quantize_xa_kv(xa_kv: dict, bits: int = 8) -> dict:
     """Quantize a cross-attention KV dict ``{"k","v"}: [L,B,H,hd,F]`` (KF
-    layout) to ``{"k_q","v_q": int8, "k_scale","v_scale": f32 [L,B,H,F]}``.
+    layout).
 
+    ``bits=8`` → ``{"k_q","v_q": int8, "k_scale","v_scale": f32 [L,B,H,F]}``.
     Per-position scales (reduced over ``hd``) keep the attention math exact
     up to 1/127 rounding: scores pick up ``k_scale`` after the q·k
     contraction; ``v_scale`` folds into the softmax weights before the
     values contraction (models/whisper._attend_xa and the fused kernel in
-    ops/decode_attention.py)."""
-    k_q, k_scale = quantize_weight(xa_kv["k"], axis=-2)
-    v_q, v_scale = quantize_weight(xa_kv["v"], axis=-2)
-    return {"k_q": k_q, "k_scale": k_scale, "v_q": v_q, "v_scale": v_scale}
+    ops/decode_attention.py).
+
+    ``bits=4`` → a PACKED carrier ``{"k_p","v_p": int8 [L,B,H,hd,F/2]}``:
+    byte j holds position j's nibble (low) and position j+F/2's (high).
+    The slab every decode step streams from HBM is half the int8 bytes.
+    Packed int8 — not ``jnp.int4`` — is the wire format because int4
+    arrays cannot cross a jit boundary on the axon TPU backend (transfer
+    and eager ops are unimplemented); decode entry points call
+    :func:`unpack_xa_kv` ONCE per window (hoisted before the token loop)
+    to materialize the native-int4 slab the loop reads."""
+    if bits == 8:
+        k_q, k_scale = quantize_weight(xa_kv["k"], axis=-2)
+        v_q, v_scale = quantize_weight(xa_kv["v"], axis=-2)
+        return {"k_q": k_q, "k_scale": k_scale, "v_q": v_q, "v_scale": v_scale}
+    if bits != 4:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+
+    def q4(x):
+        x32 = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x32), axis=-2)
+        scale = jnp.maximum(amax / 7.0, _EPS)
+        q = jnp.clip(jnp.round(x32 / scale[..., None, :]), -7, 7).astype(jnp.int8)
+        return _pack_nibbles(q), scale
+
+    k_p, k_scale = q4(xa_kv["k"])
+    v_p, v_scale = q4(xa_kv["v"])
+    return {"k_p": k_p, "k_scale": k_scale, "v_p": v_p, "v_scale": v_scale}
+
+
+def _pack_nibbles(q: jnp.ndarray) -> jnp.ndarray:
+    """int8 values in [-8, 7] along the last axis (even length F) →
+    packed int8 [.., F/2]: byte j = (q[j + F/2] << 4) | (q[j] & 0xF)."""
+    F = q.shape[-1]
+    lo = q[..., : F // 2] & jnp.int8(0x0F)
+    hi = jnp.left_shift(q[..., F // 2 :], 4)
+    return (hi | lo).astype(jnp.int8)
+
+
+def _unpack_nibbles(p: jnp.ndarray) -> jnp.ndarray:
+    """Packed int8 [.., F/2] → native int4 [.., F] (original position
+    order: low nibbles are positions [0, F/2), high nibbles the rest).
+    Arithmetic right shifts sign-extend both nibbles."""
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int4)
+
+
+def unpack_xa_kv(xa_kv: dict) -> dict:
+    """Materialize a packed int4 carrier (``quantize_xa_kv(bits=4)``) as a
+    native-int4 KV dict for the attention contractions. MUST run inside a
+    jit, once per window — callers place it before the decode loop so the
+    int4 slab (same HBM bytes as the carrier) is built once and streamed
+    every step. Pass-through for non-packed dicts."""
+    if "k_p" not in xa_kv:
+        return xa_kv
+    return {
+        "k_q": _unpack_nibbles(xa_kv["k_p"]),
+        "k_scale": xa_kv["k_scale"],
+        "v_q": _unpack_nibbles(xa_kv["v_p"]),
+        "v_scale": xa_kv["v_scale"],
+    }
 
 
 def is_quantized_kv(xa_kv: dict) -> bool:
-    return "k_q" in xa_kv
+    return "k_q" in xa_kv or "k_p" in xa_kv

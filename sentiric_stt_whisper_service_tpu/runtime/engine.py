@@ -152,7 +152,11 @@ class SttEngine:
         # compute_type=int8 (the reference's default, config.h:45): weights
         # and cross-attention K/V become weight-only int8 (ops/quant.py) —
         # the decode path is HBM-bound, so this nearly halves step time.
-        self.quantized = settings.compute_type.strip().lower().startswith("int8")
+        # compute_type=int4: int8 weights + int4 cross-KV (packed carrier),
+        # quartering the dominant per-step slab traffic.
+        ct = settings.compute_type.strip().lower()
+        self.quantized = ct.startswith(("int8", "int4"))
+        self.xa_bits = 4 if ct.startswith("int4") else (8 if self.quantized else 0)
         if self.quantized:
             from ..ops.quant import is_quantized, quantize_params
 
@@ -233,7 +237,7 @@ class SttEngine:
         as ONE jitted executable — per-launch dispatch latency is the
         dominant cost of small serving requests (docs/PERF.md)."""
         return _encode_audio_op(
-            self.cfg, self.params, jnp.asarray(windows), self.quantized
+            self.cfg, self.params, jnp.asarray(windows), self.xa_bits
         )
 
     # ------------------------------------------------------------------
@@ -832,18 +836,19 @@ class SttEngine:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "quantize"))
-def _encode_audio_op(cfg, params, audio, quantize: bool):
-    """Fused serving frontend: [B, N_SAMPLES] audio → (quantized)
-    cross-attention K/V in one executable."""
+@functools.partial(jax.jit, static_argnames=("cfg", "kv_bits"))
+def _encode_audio_op(cfg, params, audio, kv_bits: int):
+    """Fused serving frontend: [B, N_SAMPLES] audio → cross-attention K/V
+    in one executable. kv_bits: 0 = bf16, 8 = int8, 4 = packed-int4
+    carrier (the jit-boundary-safe wire format; ops/quant.py)."""
     from ..models.whisper import encoder_apply, precompute_xa_kv
 
     mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
     xa = precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel))
-    if quantize:
+    if kv_bits:
         from ..ops.quant import quantize_xa_kv
 
-        return quantize_xa_kv(xa)
+        return quantize_xa_kv(xa, kv_bits)
     return xa
 
 

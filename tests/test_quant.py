@@ -227,3 +227,146 @@ def test_batcher_quantized_matches_decode_window(setup):
     got = np.asarray(out["tokens"])[:16]
     n = min(len(want), len(got))
     assert n > 0 and (want[:n] == got[:n]).all()
+
+
+# ---------------------------------------------------------------------------
+# int4 cross-KV (packed carrier; compute_type=int4)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_unpack_nibbles_roundtrip():
+    from sentiric_stt_whisper_service_tpu.ops.quant import (
+        _pack_nibbles,
+        _unpack_nibbles,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(-7, 8, size=(3, 4, 16), dtype=np.int8)
+
+    @jax.jit
+    def roundtrip(q):
+        return _unpack_nibbles(_pack_nibbles(q)).astype(jnp.int8)
+
+    packed = np.asarray(jax.jit(_pack_nibbles)(jnp.asarray(vals)))
+    assert packed.shape == (3, 4, 8) and packed.dtype == np.int8
+    back = np.asarray(roundtrip(jnp.asarray(vals)))
+    np.testing.assert_array_equal(back, vals)
+
+
+def test_quantize_xa_kv_int4_carrier_format(setup):
+    xa_kv, xa_q4 = setup[2], quantize_xa_kv(setup[2], 4)
+    L, B, H, hd, F = xa_kv["k"].shape
+    assert xa_q4["k_p"].dtype == jnp.int8
+    assert xa_q4["k_p"].shape == (L, B, H, hd, F // 2)
+    assert xa_q4["k_scale"].shape == (L, B, H, F)
+    assert xa_batch_size(xa_q4) == B
+    # eager ops on the carrier (slot slicing in the engine) must work
+    sel = {k: v[:, :1] for k, v in xa_q4.items()}
+    assert sel["k_p"].shape == (L, 1, H, hd, F // 2)
+
+
+def test_unpack_xa_kv_matches_direct_int4(setup):
+    """Packed carrier → unpack == direct int4 quantization values."""
+    from sentiric_stt_whisper_service_tpu.ops.quant import unpack_xa_kv
+
+    xa_kv = setup[2]
+
+    @jax.jit
+    def both(xa):
+        direct_k = jnp.clip(
+            jnp.round(
+                xa["k"].astype(jnp.float32)
+                / jnp.maximum(
+                    jnp.max(jnp.abs(xa["k"].astype(jnp.float32)), axis=-2) / 7.0,
+                    1e-12,
+                )[..., None, :]
+            ),
+            -7, 7,
+        ).astype(jnp.int8)
+        unpacked = unpack_xa_kv(quantize_xa_kv(xa, 4))
+        return direct_k, unpacked["k_q"].astype(jnp.int8)
+
+    direct, unpacked = jax.tree.map(np.asarray, both(xa_kv))
+    np.testing.assert_array_equal(direct, unpacked)
+
+
+def test_decoder_logits_close_int4(setup):
+    params, qparams, xa_kv, _ = setup
+    xa_q4 = quantize_xa_kv(xa_kv, 4)
+    tok = fallback_tokenizer(CFG.n_vocab)
+    tokens = jnp.asarray(np.tile(np.asarray(tok.sot_sequence("en"), np.int32), (2, 1)))
+    l_ref, _, _ = decoder_apply(
+        CFG, params, tokens, jnp.int32(0), init_kv_cache(CFG, 2, 64), xa_kv
+    )
+    l_q, _, _ = decoder_apply(
+        CFG, qparams, tokens, jnp.int32(0), init_kv_cache(CFG, 2, 64), xa_q4
+    )
+    ref = np.asarray(l_ref, np.float32)
+    q = np.asarray(l_q, np.float32)
+    # int4 KV + int8 weights: looser bound than the int8 test (0.05)
+    assert np.abs(ref - q).max() / (np.abs(ref).max() + 1e-9) < 0.12
+
+
+def test_greedy_decode_agreement_int4(setup):
+    params, qparams, xa_kv, _ = setup
+    xa_q4 = quantize_xa_kv(xa_kv, 4)
+    tok = fallback_tokenizer(CFG.n_vocab)
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(CFG.n_vocab, ids, tok.non_speech_tokens))
+    sot = tok.sot_sequence("en")
+    tinit = np.full((2, CFG.n_text_ctx), ids.eot, np.int32)
+    tinit[:, : len(sot)] = sot
+    tinit = jnp.asarray(tinit)
+    kw = dict(max_len=len(sot) + 16)
+    r_ref = decode_window(
+        CFG, params, xa_kv, tinit, len(sot), 0, ids, sup,
+        jnp.float32(0.0), jax.random.key(1), **kw,
+    )
+    r_q = decode_window(
+        CFG, qparams, xa_q4, tinit, len(sot), 0, ids, sup,
+        jnp.float32(0.0), jax.random.key(1), **kw,
+    )
+    a = np.asarray(r_ref.tokens[:, len(sot) : len(sot) + 16])
+    b = np.asarray(r_q.tokens[:, len(sot) : len(sot) + 16])
+    assert (a == b).mean() >= 0.8  # int4 flips more near-ties than int8
+
+
+def test_beam_and_alignment_accept_int4(setup):
+    from sentiric_stt_whisper_service_tpu.models.beam import decode_window_beam
+    from sentiric_stt_whisper_service_tpu.models.timestamps import alignment_scores
+
+    _, qparams, xa_kv, _ = setup
+    xa_q4 = quantize_xa_kv(xa_kv, 4)
+    tok = fallback_tokenizer(CFG.n_vocab)
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(CFG.n_vocab, ids, tok.non_speech_tokens))
+    sot = tok.sot_sequence("en")
+    tinit = np.full((2, CFG.n_text_ctx), ids.eot, np.int32)
+    tinit[:, : len(sot)] = sot
+    r = decode_window_beam(
+        CFG, qparams, xa_q4, jnp.asarray(tinit), len(sot), 0, ids, sup,
+        beam_size=2, max_len=len(sot) + 8,
+    )
+    assert np.asarray(r.lengths).min() > len(sot)
+    tokens = jnp.asarray(
+        np.tile(np.asarray(tok.sot_sequence("en") + [300, 400], np.int64), (2, 1))
+    )
+    s = np.asarray(alignment_scores(CFG, qparams, xa_q4, tokens))
+    assert np.isfinite(s).all()
+
+
+def test_engine_int4_end_to_end():
+    from sentiric_stt_whisper_service_tpu.config import Settings
+    from sentiric_stt_whisper_service_tpu.runtime.engine import (
+        RequestOptions,
+        SttEngine,
+    )
+
+    s = Settings(enable_vad=False, beam_size=1, parallel_requests=1,
+                 compute_type="int4")
+    eng = SttEngine(s, model_name="test", random_init=True)
+    assert eng.quantized and eng.xa_bits == 4 and is_quantized(eng.params)
+    t = np.arange(16000, dtype=np.float32) / 16000
+    clip = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    res = eng.transcribe(clip, 16000, RequestOptions(language="en"))
+    assert isinstance(res, list)
