@@ -107,7 +107,7 @@ def _decode_window_beam_impl(
     # mask points every beam at slot 0 for prompt positions, so the prefix is
     # never tiled. The cross slab stays untiled forever — decoder_step_beam
     # shares it across beams (docs/PERF.md beam-path redesign).
-    kv_b = init_kv_cache(cfg, B, cache_len)
+    kv_b = init_kv_cache(cfg, B, cache_len, paired=True)
     prefill_logits, kv_b, _ = decoder_apply(
         cfg, params, tokens_init[:, :prefill_len], jnp.int32(0), kv_b, xa_kv
     )

@@ -899,6 +899,7 @@ def decoder_step_beam(
     d = cfg.n_text_state
     hd = d // h
     scale = hd**-0.25
+    paired = _is_paired_cache(kv_cache, hd)
 
     x = embed_tokens(dec, tokens) + dec["pos_emb"][pos][None]  # [S, d]
     x = x[:, None, :].astype(cfg.dtype)  # [S, 1, d]
@@ -919,12 +920,20 @@ def decoder_step_beam(
             kp = dense(y, layer["attn"]["k"])
             vp = dense(y, layer["attn"]["v"])
         # Lockstep append into each beam's own slot: one shared-offset DUS.
+        # Paired cache (init_kv_cache paired=True): rows [x_h0 | x_h1] fill
+        # all 128 lanes — half the slab DMA of the hd=64 layout; the beam
+        # kernel reads both heads' scores from one slab pass.
+        def rows(z):
+            if paired:
+                return z.reshape(S, h // 2, 2 * hd)
+            return heads1(z)
+
         k_all = jax.lax.dynamic_update_slice(
-            k_all, heads1(kp)[None, :, :, None, :].astype(k_all.dtype),
+            k_all, rows(kp)[None, :, :, None, :].astype(k_all.dtype),
             (li, 0, 0, pos, 0),
         )
         v_all = jax.lax.dynamic_update_slice(
-            v_all, heads1(vp)[None, :, :, None, :].astype(v_all.dtype),
+            v_all, rows(vp)[None, :, :, None, :].astype(v_all.dtype),
             (li, 0, 0, pos, 0),
         )
         k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)

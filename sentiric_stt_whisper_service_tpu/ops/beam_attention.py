@@ -33,36 +33,46 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams):
+def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
     """One program per (batch item, head block): all heads of the block
     attend in one shot; the online-softmax recurrence runs over the K
-    source slots so every in-kernel shape is a clean [Hb,K,C]/[Hb,K,hd]
-    tile (Mosaic cannot lower interior-singleton shape casts)."""
+    source slots so every in-kernel shape is a clean [Hb,R,C]/[Hb,R,hd]
+    tile (Mosaic cannot lower interior-singleton shape casts).
+
+    With a head-PAIRED cache (rows [x_h0 | x_h1], lane dim 2·hd = 128)
+    the q block carries ``n_rows = 2·K`` zero-padded query rows per head
+    pair ([q_h0|0] for beams 0..K-1, then [0|q_h1]) — both heads' scores
+    come out of one slab read and the cross terms hit exact zeros.
+    Unpaired caches use ``n_rows = K``."""
     K = k_beams
+    R = n_rows
     dt = k_ref.dtype
     # bf16 operands / fp32 accumulation — the same numerics as the XLA
     # path (_attend scales q in bf16 and casts softmax weights back).
     q = (q_ref[0].astype(jnp.float32) * jnp.float32(scale)).astype(dt)
     Hb, _, hd = q.shape
-    m = jnp.full((Hb, K, 1), NEG, jnp.float32)
-    l = jnp.zeros((Hb, K, 1), jnp.float32)
-    acc = jnp.zeros((Hb, K, hd), jnp.float32)
+    m = jnp.full((Hb, R, 1), NEG, jnp.float32)
+    l = jnp.zeros((Hb, R, 1), jnp.float32)
+    acc = jnp.zeros((Hb, R, hd), jnp.float32)
     for s in range(K):  # online softmax over source slots
         scores = jax.lax.dot_general(
-            q, k_ref[s],  # [Hb, Kd, hd] x [Hb, C, hd]
+            q, k_ref[s],  # [Hb, R, hd] x [Hb, C, hd]
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [Hb, Kd, C]
-        scores = jnp.where(anc_ref[0, s][None] > 0, scores, NEG)
+        )  # [Hb, R, C]
+        anc = anc_ref[0, s]  # [Kd, C]
+        if R != K:  # paired: same ancestry for both head rows of a beam
+            anc = jnp.concatenate([anc, anc], axis=0)  # [2Kd, C]
+        scores = jnp.where(anc[None] > 0, scores, NEG)
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(scores - m_new)  # masked cols: exp(NEG - m) == 0
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(dt), v_ref[s],  # [Hb, Kd, C] x [Hb, C, hd]
+            p.astype(dt), v_ref[s],  # [Hb, R, C] x [Hb, C, hd]
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [Hb, Kd, hd]
+        )  # [Hb, R, hd]
         acc = acc * alpha + pv
         m = m_new
     o_ref[0] = (acc / l).astype(o_ref.dtype)
@@ -80,51 +90,102 @@ def beam_attention(
     scale: float = 1.0,  # score scale (applied to q, so hd**-0.5 total)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused ancestry-masked beam attention. Returns [B*K, H, hd]."""
-    BK, H, C, hd = k.shape
-    K = beam_size
-    B = BK // K
+    """Fused ancestry-masked beam attention. Returns [B*K, H, hd].
 
-    q_bh = q.reshape(B, K, H, hd).transpose(0, 2, 1, 3)  # [B, H, Kd, hd]
+    ``q`` is always per-head [B*K, H, hd]. ``k``/``v`` may be head-PAIRED
+    [B*K, H/2, C, 2·hd] (models/whisper.init_kv_cache paired=True): full
+    128-lane rows, so the slab DMA moves half the bytes of the unpaired
+    hd=64 layout (whose minor dim is physically padded to 128)."""
+    K = beam_size
+    BK, H = q.shape[:2]
+    hd = q.shape[-1]
+    C = k.shape[2]
+    B = BK // K
+    paired = k.shape[-1] == 2 * hd
     anc_s = anc.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B, Ks, Kd, C]
+
+    if paired:
+        Hk = H // 2
+        rows = 2 * K
+        # [B,K,Hk,2,hd] → [B,Hk,2,K,hd]: head-in-pair major, then beams.
+        qr = q.reshape(B, K, Hk, 2, hd).transpose(0, 2, 3, 1, 4)
+        z = jnp.zeros_like(qr[:, :, :1])
+        q_bh = jnp.concatenate(
+            [
+                jnp.concatenate([qr[:, :, :1], z], axis=-1),
+                jnp.concatenate([z, qr[:, :, 1:]], axis=-1),
+            ],
+            axis=2,
+        ).reshape(B, Hk, rows, 2 * hd)  # [B, Hk, 2K, 128]
+        lane = 2 * hd
+    else:
+        Hk = H
+        rows = K
+        q_bh = q.reshape(B, K, H, hd).transpose(0, 2, 1, 3)  # [B, H, Kd, hd]
+        lane = hd
 
     # Head-block size: big blocks amortize per-program overhead (the
     # (B, H) per-head grid measured 2.5× slower than (B, H//Hb)); cap so
     # a double-buffered K/V block set stays well inside VMEM.
-    Hb = H
-    while Hb > 1 and 2 * 2 * K * Hb * C * hd * k.dtype.itemsize > 8 * 2**20:
+    Hb = Hk
+    while Hb > 1 and 2 * 2 * K * Hb * C * lane * k.dtype.itemsize > 8 * 2**20:
         div = next(d for d in range(2, Hb + 1) if Hb % d == 0)
         Hb //= div
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, k_beams=K),
-        grid=(B, H // Hb),
+        functools.partial(_kernel, scale=scale, k_beams=K, n_rows=rows),
+        grid=(B, Hk // Hb),
         in_specs=[
-            pl.BlockSpec((1, Hb, K, hd), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, Hb, rows, lane), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, Hb, C, hd), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((K, Hb, C, lane), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, Hb, C, hd), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((K, Hb, C, lane), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, K, C), lambda b, h: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, Hb, K, hd), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+            (1, Hb, rows, lane), lambda b, h: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, K, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hk, rows, lane), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * K * K * C * hd,
-            bytes_accessed=2 * BK * H * C * hd * k.dtype.itemsize,
+            bytes_accessed=2 * BK * Hk * C * lane * k.dtype.itemsize,
             transcendentals=B * H * K * K * C,
         ),
         interpret=interpret,
     )(q_bh, k, v, anc_s)
+    if paired:
+        # [B,Hk,2K,128]: beam kd's head-even output is row kd lanes [:hd],
+        # head-odd is row K+kd lanes [hd:]. Slices act on the small output.
+        o5 = out.reshape(B, Hk, 2, K, 2 * hd)
+        per_head = jnp.stack(
+            [o5[:, :, 0, :, :hd], o5[:, :, 1, :, hd:]], axis=2
+        )  # [B,Hk,2,K,hd]
+        return (
+            per_head.transpose(0, 3, 1, 2, 4).reshape(BK, H, hd)
+        )
     return out.transpose(0, 2, 1, 3).reshape(BK, H, hd)
 
 
 def beam_attention_reference(q, k, v, anc, beam_size, scale=1.0):
-    """XLA twin with identical semantics (the pre-kernel formulation)."""
+    """XLA twin with identical semantics (the pre-kernel formulation).
+    Accepts head-paired slabs by unpairing them first (off-TPU path)."""
+    hd_q = q.shape[-1]
+    if k.shape[-1] == 2 * hd_q:  # paired [BK, H/2, C, 2hd] → [BK, H, C, hd]
+        BKp, Hp, Cp, _ = k.shape
+
+        def unpair(x):
+            return (
+                x.reshape(BKp, Hp, Cp, 2, hd_q)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(BKp, 2 * Hp, Cp, hd_q)
+            )
+
+        k = unpair(k)
+        v = unpair(v)
     BK, H, C, hd = k.shape
     K = beam_size
     B = BK // K

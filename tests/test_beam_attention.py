@@ -66,3 +66,35 @@ def test_ancestry_selects_the_right_slot():
     )
     np.testing.assert_allclose(np.asarray(out[0]), 1.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out[1]), 2.0, atol=1e-6)
+
+
+def pair_slab(x, hd):
+    """[BK, H, C, hd] → head-paired [BK, H/2, C, 2·hd] (rows [x_h0|x_h1])."""
+    BK, H, C, _ = x.shape
+    return (
+        x.reshape(BK, H // 2, 2, C, hd)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(BK, H // 2, C, 2 * hd)
+    )
+
+
+def test_kernel_paired_matches_unpaired_reference():
+    q, k, v, anc = make_case(seed=5)
+    scale = 64**-0.5
+    k2, v2 = pair_slab(k, 64), pair_slab(v, 64)
+    got = beam_attention(q, k2, v2, anc, beam_size=3, scale=scale, interpret=True)
+    want = beam_attention_reference(q, k, v, anc, beam_size=3, scale=scale)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_reference_accepts_paired():
+    q, k, v, anc = make_case(seed=6)
+    scale = 64**-0.5
+    k2, v2 = pair_slab(k, 64), pair_slab(v, 64)
+    got = beam_attention_reference(q, k2, v2, anc, beam_size=3, scale=scale)
+    want = beam_attention_reference(q, k, v, anc, beam_size=3, scale=scale)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-6
+    )
