@@ -12,7 +12,8 @@ Device-resident state (static shapes, S = max_slots):
   tokens   [S, ctx]      sampled-token buffers
   pos      [S]           per-slot decode position
   done     [S]           finished flags
-  kv       [L, S, H, hd, cache_len]   self-attention cache slabs (KF layout)
+  kv       [L, S, H/2, cache_len, 2*hd]  self cache (position-major,
+           head-paired rows [x_h0|x_h1] — models/whisper.init_kv_cache)
   xa_kv    [L, S, H, hd, 1500]        cross-attention K/V per slot
                                       (int8 + [L,S,H,1500] scales when
                                       quantize_kv)
@@ -145,7 +146,7 @@ class ContinuousBatcher:
             sum_lp=jnp.zeros((S,), jnp.float32),
             tok_lps=jnp.zeros((S, cfg.n_text_ctx), jnp.float32),
             no_speech=jnp.zeros((S,), jnp.float32),
-            kv=init_kv_cache(cfg, S, self.cache_len),
+            kv=init_kv_cache(cfg, S, self.cache_len, paired=True),
             xa_kv=xa_zero,
             last_logits=jnp.zeros((S, cfg.n_vocab), jnp.float32),
             ring_row=jnp.int32(0),
@@ -365,7 +366,7 @@ def _insert_slot_op(
     n_prompt, sot_index, max_len,
 ):
     if True:
-        kv1 = init_kv_cache(cfg, 1, cache_len)
+        kv1 = init_kv_cache(cfg, 1, cache_len, paired=True)
         logits, kv1, _ = decoder_apply(
             cfg, params, prompt, jnp.int32(0), kv1, xa_kv1
         )
@@ -426,7 +427,11 @@ def _insert_slot_op(
 @functools.partial(jax.jit, static_argnames=("cfg", "ids", "n_steps"))
 def _step_chunk_op(cfg, ids, n_steps, params, suppress_mask, state):
     if True:
-        cache_len = state.kv["k"].shape[-1]
+        # Position axis of the position-major slab [L, S, H, C, hd] — NOT
+        # shape[-1] (= hd): decoder_step's ring ages are mod shape[3], so
+        # advancing ring_row mod hd would silently clobber live rows once
+        # a decode runs past hd tokens.
+        cache_len = state.kv["k"].shape[3]
 
         def one_step(state: BatchState) -> BatchState:
             logits = state.last_logits + suppress_mask[None, :]

@@ -155,3 +155,37 @@ def test_slot_recycling_beyond_capacity(setup, batcher):
     results = [f.result(timeout=300) for f in futs]
     assert len(results) == 8
     np.testing.assert_array_equal(results[0]["tokens"], results[3]["tokens"])
+
+
+def test_decode_longer_than_head_dim(setup):
+    """Regression: ring_row must advance mod cache_len (slab dim 3), not
+    mod hd (shape[-1]). With the test model's hd=32, a decode past 32
+    tokens in a 64-row cache clobbered live rows under the old
+    arithmetic. Compare a >hd-token decode against the one-shot path."""
+    cfg, params, tok, ids, sup = setup
+    window = make_window(3)
+    sot = tok.sot_sequence("en")
+    n_tok = 48  # > hd(32), < cache_len(64)
+
+    b = ContinuousBatcher(cfg, params, ids, sup, max_slots=2, cache_len=64,
+                          steps_per_sync=4)
+    try:
+        got = b.submit(window, sot, 0, max_tokens=n_tok).result(timeout=300)
+    finally:
+        b.shutdown()
+
+    mel = log_mel_spectrogram(window[None], n_mels=cfg.n_mels)
+    xa_kv = encode_xa_kv(cfg, params, mel)
+    tinit = np.full((1, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[0, : len(sot)] = sot
+    want = decode_window(
+        cfg, params, xa_kv, jnp.asarray(tinit), len(sot), 0, ids, sup,
+        jnp.float32(0.0), jax.random.key(0), max_len=len(sot) + n_tok,
+    )
+    want_seq = np.asarray(want.tokens[0])[len(sot) : int(want.lengths[0])]
+    want_seq = want_seq[want_seq != ids.eot]
+    got_seq = np.asarray(got["tokens"])
+    n = min(len(want_seq), len(got_seq))
+    # fp32 mini model: summation order may flip rare near-ties; demand
+    # near-total agreement (the pre-fix arithmetic produced garbage).
+    assert n > 0 and (want_seq[:n] == got_seq[:n]).mean() >= 0.95
