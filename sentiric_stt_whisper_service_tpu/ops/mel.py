@@ -118,12 +118,32 @@ def frame_audio(audio: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP_LENGTH):
 
     Matches torch.stft(center=True, pad_mode="reflect"); the final frame is
     dropped by the caller per whisper semantics.
+
+    GATHER-FREE: frame i covers samples [i·hop, i·hop + n_fft); with
+    n_fft = ceil(n_fft/hop)·hop overlap, every frame is a concatenation of
+    consecutive hop-sized chunks — so framing is a reshape plus
+    ceil(n_fft/hop) shifted slices and one concat. The advanced-index
+    formulation (``audio[..., idx]``) lowers to an XLA gather that costs
+    ~30 ms for 8×30 s windows on TPU; this form is pure layout ops.
     """
     pad = n_fft // 2
     audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
     n_frames = 1 + (audio.shape[-1] - n_fft) // hop
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    return audio[..., idx]
+    n_chunks_per_frame = -(-n_fft // hop)  # ceil: 3 for 400/160
+    total_chunks = n_frames + n_chunks_per_frame - 1
+    tail_pad = total_chunks * hop - audio.shape[-1]
+    if tail_pad > 0:
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, tail_pad)])
+    chunks = audio[..., : total_chunks * hop].reshape(
+        *audio.shape[:-1], total_chunks, hop
+    )
+    parts = []
+    remaining = n_fft
+    for j in range(n_chunks_per_frame):
+        width = min(hop, remaining)
+        parts.append(chunks[..., j : j + n_frames, :width])
+        remaining -= width
+    return jnp.concatenate(parts, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_mels", "dtype"))
