@@ -37,11 +37,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     ~22 TFLOPS, so every saved pass counts). The pad mask is a precomputed
     additive bias row (no per-program iota/where pass)."""
     q = q_ref[0]  # [BLOCK_Q, d]
-    k = k_ref[0]  # [L_pad, d]
+    k = k_ref[0]  # [d, L_pad] — pre-transposed (see flash_attention)
     v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BLOCK_Q, L_pad]
     scores = scores + bias_ref[...]  # [1, L_pad] broadcast
@@ -73,7 +73,11 @@ def flash_attention(
         v = jnp.pad(v, pad)
     bh = B * H
     qf = q.reshape(bh, l_pad, d)
-    kf = k.reshape(bh, l_pad, d)
+    # K pre-transposed to [bh, d, L_pad]: the score matmul contracts the
+    # minor axis of q against the MAJOR axis of k — no in-kernel transpose
+    # of the K tile. Swept on chip: 7.46 → 6.98 ms at [16,20,1500,64]
+    # including this XLA transpose.
+    kf = k.reshape(bh, l_pad, d).transpose(0, 2, 1)
     vf = v.reshape(bh, l_pad, d)
     bias = jnp.where(jnp.arange(l_pad) < L, 0.0, -1e30).astype(jnp.float32)[None]
 
@@ -87,7 +91,7 @@ def flash_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, l_pad, d), lambda b, i: (b, 0, 0),
+                (1, d, l_pad), lambda b, i: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
