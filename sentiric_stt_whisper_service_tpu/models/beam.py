@@ -42,6 +42,7 @@ from .whisper import (
     decoder_apply,
     decoder_step_beam,
     init_kv_cache,
+    pairing_ok,
 )
 
 
@@ -107,7 +108,7 @@ def _decode_window_beam_impl(
     # mask points every beam at slot 0 for prompt positions, so the prefix is
     # never tiled. The cross slab stays untiled forever — decoder_step_beam
     # shares it across beams (docs/PERF.md beam-path redesign).
-    kv_b = init_kv_cache(cfg, B, cache_len, paired=True)
+    kv_b = init_kv_cache(cfg, B, cache_len, paired=pairing_ok(cfg))
     prefill_logits, kv_b, _ = decoder_apply(
         cfg, params, tokens_init[:, :prefill_len], jnp.int32(0), kv_b, xa_kv
     )

@@ -33,6 +33,7 @@ from .whisper import (
     WhisperConfig,
     decoder_apply,
     init_kv_cache,
+    pairing_ok,
 )
 
 NEG_INF = jnp.float32(-1e30)
@@ -217,7 +218,7 @@ def detect_language(
 
     xa_kv = unpack_xa_kv(xa_kv)
     B = xa_batch_size(xa_kv)
-    kv = init_kv_cache(cfg, B, 64, paired=True)
+    kv = init_kv_cache(cfg, B, 64, paired=pairing_ok(cfg))
     tokens = jnp.full((B, 1), sot, jnp.int32)
     logits, _, _ = decoder_apply(cfg, params, tokens, jnp.int32(0), kv, xa_kv)
     lang_logits = jax.lax.dynamic_slice_in_dim(
@@ -322,7 +323,7 @@ def _decode_window_impl(
     cache_len = min(ctx, -(-max_len // 64) * 64)  # position-major: sublane-axis slab
     # Head-paired slab: full 128-lane rows, 2x effective read bandwidth
     # (init_kv_cache; tools/bench_self_layout.py).
-    kv = init_kv_cache(cfg, B, cache_len, paired=True)
+    kv = init_kv_cache(cfg, B, cache_len, paired=pairing_ok(cfg))
 
     # --- prefill the prompt (bucketed static length; tail is EOT pad) ---
     prefill_logits, kv, _ = decoder_apply(

@@ -431,6 +431,24 @@ def _is_paired_cache(kv_cache: dict, hd: int) -> bool:
     return kv_cache["k"].shape[-1] == 2 * hd
 
 
+def pairing_ok(cfg: WhisperConfig) -> bool:
+    """True when the head-paired cache layout may be used: even head
+    count AND no multi-device mesh active. Under a tensor-parallel mesh
+    the paired reshape interacts badly with GSPMD's head-axis sharding
+    (measured: collective rendezvous deadlock on the 8-device CPU mesh),
+    so meshed decode keeps the unpaired [L,B,H,C,hd] slab — its lane
+    padding is the price of sharded heads for now."""
+    if cfg.n_text_head % 2:
+        return False
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is not None and not mesh.empty and mesh.size > 1:
+            return False
+    except Exception:  # noqa: BLE001 — older JAX: no abstract mesh API
+        pass
+    return True
+
+
 def _pair_queries(qr: jnp.ndarray) -> jnp.ndarray:
     """[.., 2, hd] head-pair queries → [.., 2, 2·hd] zero-padded rows
     ([q_h0 | 0], [0 | q_h1]) so one contraction over the paired slab

@@ -46,6 +46,7 @@ from ..models.whisper import (
     decoder_step,
     encoder_apply,
     init_kv_cache,
+    pairing_ok,
     precompute_xa_kv,
 )
 from ..ops import compute_log_mel
@@ -146,7 +147,7 @@ class ContinuousBatcher:
             sum_lp=jnp.zeros((S,), jnp.float32),
             tok_lps=jnp.zeros((S, cfg.n_text_ctx), jnp.float32),
             no_speech=jnp.zeros((S,), jnp.float32),
-            kv=init_kv_cache(cfg, S, self.cache_len, paired=True),
+            kv=init_kv_cache(cfg, S, self.cache_len, paired=pairing_ok(cfg)),
             xa_kv=xa_zero,
             last_logits=jnp.zeros((S, cfg.n_vocab), jnp.float32),
             ring_row=jnp.int32(0),
@@ -366,7 +367,7 @@ def _insert_slot_op(
     n_prompt, sot_index, max_len,
 ):
     if True:
-        kv1 = init_kv_cache(cfg, 1, cache_len, paired=True)
+        kv1 = init_kv_cache(cfg, 1, cache_len, paired=pairing_ok(cfg))
         logits, kv1, _ = decoder_apply(
             cfg, params, prompt, jnp.int32(0), kv1, xa_kv1
         )
