@@ -105,6 +105,13 @@ class Settings:
     grpc_key_path: str = ""
 
     # --- TPU-native additions (no reference counterpart) ---
+    # Encoder audio context (whisper.cpp's audio_ctx speed knob): 0 = full
+    # 1500 positions (exact whisper semantics, default); -1 = auto-bucket
+    # per window to the smallest {384, 768, 1152, 1500} covering the real
+    # audio — encode time AND the decode step's cross-KV streaming scale
+    # with the context, so short clips/partials decode up to ~3x faster
+    # at a small accuracy cost; N = fixed context.
+    audio_ctx: int = 0
     # Decode micro-batch size for the continuous batcher (per chip).
     max_batch_size: int = 8
     # Mesh axes for weight sharding: "1" = single chip. e.g. "2x4" = dp=2, tp=4.
@@ -162,6 +169,7 @@ def load_settings() -> Settings:
         "STREAM_BUFFER_SAMPLES", s.stream_buffer_samples
     )
     s.stream_incremental = _env_bool("STREAM_INCREMENTAL", s.stream_incremental)
+    s.audio_ctx = _env_int("AUDIO_CTX", s.audio_ctx)
 
     s.log_level = _env("LOG_LEVEL", s.log_level)
     s.grpc_ca_path = os.environ.get("GRPC_TLS_CA_PATH", s.grpc_ca_path)

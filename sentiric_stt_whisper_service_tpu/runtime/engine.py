@@ -231,11 +231,44 @@ class SttEngine:
             self._rng, sub = jax.random.split(self._rng)
             return sub
 
-    def _encode_window(self, windows: np.ndarray):
+    # Encoder-context shape classes for audio_ctx=-1 (auto): smallest
+    # bucket covering the real audio. One compiled encode/decode set per
+    # bucket; 384 ≈ 7.7 s, 768 ≈ 15.4 s, 1152 ≈ 23 s.
+    AUDIO_CTX_BUCKETS = (384, 768, 1152, 1500)
+
+    def _window_ctx(self, remain_samples: int) -> Optional[int]:
+        """Encoder context for a window with ``remain_samples`` of real
+        audio, or None for the full 1500 (settings.audio_ctx knob —
+        whisper.cpp's audio_ctx speed/accuracy trade)."""
+        ac = self.settings.audio_ctx
+        if ac == 0:
+            return None
+        full = self.cfg.n_audio_ctx
+        if ac > 0:
+            return min(max(64, ac), full)
+        need = -(-remain_samples // 320)  # samples → encoder positions
+        for b in self.AUDIO_CTX_BUCKETS:
+            if need <= b and b <= full:
+                return b if b < full else None
+        return None
+
+    def _encode_window(self, windows: np.ndarray, n_ctx: Optional[int] = None):
         """audio windows [B, N] → cross-attention K/V (int8 when
         compute_type=int8). Mel + encoder + KV precompute (+ quantize) run
         as ONE jitted executable — per-launch dispatch latency is the
-        dominant cost of small serving requests (docs/PERF.md)."""
+        dominant cost of small serving requests (docs/PERF.md).
+
+        ``n_ctx`` crops the window to the first ``n_ctx`` encoder
+        positions (audio_ctx): encode FLOPs and every decode step's
+        cross-slab traffic scale with it."""
+        windows = np.asarray(windows)
+        if n_ctx is not None:
+            target = n_ctx * 320
+            if target < windows.shape[-1]:
+                windows = windows[..., :target]
+            elif target > windows.shape[-1]:
+                pad = [(0, 0)] * (windows.ndim - 1) + [(0, target - windows.shape[-1])]
+                windows = np.pad(windows, pad)
         return _encode_audio_op(
             self.cfg, self.params, jnp.asarray(windows), self.xa_bits
         )
@@ -327,7 +360,7 @@ class SttEngine:
         window = np.zeros(N_SAMPLES, np.float32)
         n = min(audio.shape[0], N_SAMPLES)
         window[:n] = audio[:n]
-        xa_kv = self._encode_window(window[None])
+        xa_kv = self._encode_window(window[None], self._window_ctx(n))
         sp = self.tokenizer.special
         probs = detect_language(
             self.cfg, self.params, xa_kv, sp.sot, sp.language_begin, sp.num_languages
@@ -356,10 +389,20 @@ class SttEngine:
         # instead of one per carried-prompt length.
         prefill_len = prompt_bucket(sample_begin)
         max_len = min(ctx, prefill_len + SAMPLE_LEN)
+        # Cross-KV context of this window (the quantized dicts carry
+        # per-position scales [L,B,H,F]; the packed-int4 carrier halves
+        # the slab's minor dim, so read F off the scales/bf16 leaf).
+        xa_f = (
+            xa_kv["k_scale"].shape[-1] if "k_scale" in xa_kv
+            else xa_kv["k"].shape[-1]
+        )
         if (
             temperature <= 0.0
             and beam_size <= 1
             and self.settings.parallel_requests > 1
+            # The batcher's slot state is a fixed full-context slab; a
+            # cropped audio_ctx window decodes via the one-shot path.
+            and xa_f == self.cfg.n_audio_ctx
         ):
             # Greedy decodes share the continuous batcher so concurrent
             # requests ride one decode step (replaces the reference's
@@ -454,7 +497,7 @@ class SttEngine:
             window[:remain] = audio[seek : seek + remain]
             window_dur_cs = int(round(remain / SAMPLE_RATE * 100))  # centisec
 
-            xa_kv = self._encode_window(window[None])
+            xa_kv = self._encode_window(window[None], self._window_ctx(remain))
 
             # Decoder preamble: [sot_prev + carried/prompt] [sot lang task].
             prefix = prompt_text_tokens + carried_tokens

@@ -124,3 +124,28 @@ def test_beam_decode_through_engine():
     for r in res:
         assert r.t1 >= r.t0 >= 0
         assert 0.0 <= r.prob <= 1.0
+
+
+def test_audio_ctx_auto_buckets():
+    """audio_ctx=-1: short windows encode at the smallest covering bucket
+    (whisper.cpp's audio_ctx knob, TPU-bucketed); decode runs end-to-end
+    on the cropped cross-KV."""
+    s = Settings(enable_vad=False, beam_size=1, parallel_requests=1,
+                 audio_ctx=-1)
+    eng = SttEngine(s, model_name="test", random_init=True)
+    assert eng._window_ctx(3 * 16000) == 384      # 3 s → 384 positions
+    assert eng._window_ctx(10 * 16000) == 768     # 10 s → 768
+    assert eng._window_ctx(30 * 16000) is None    # full window → native
+    xa = eng._encode_window(np.zeros((1, 16000 * 3), np.float32), 384)
+    f = xa["k_scale"].shape[-1] if "k_scale" in xa else xa["k"].shape[-1]
+    assert f == 384
+    clip = make_speechlike(2.0)
+    res = eng.transcribe(clip, 16000, RequestOptions(language="en"))
+    assert isinstance(res, list)
+
+
+def test_audio_ctx_fixed():
+    s = Settings(enable_vad=False, beam_size=1, parallel_requests=1,
+                 audio_ctx=512)
+    eng = SttEngine(s, model_name="test", random_init=True)
+    assert eng._window_ctx(30 * 16000) == 512
