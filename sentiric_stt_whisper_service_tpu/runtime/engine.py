@@ -217,6 +217,24 @@ class SttEngine:
             self.transcribe(clip, SAMPLE_RATE, RequestOptions(language="en"))
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
+        # audio_ctx buckets: every shape class pays its XLA compile here
+        # instead of on a live request (streaming p95 otherwise spikes at
+        # each bucket boundary).
+        if self.settings.audio_ctx == -1:
+            for b in self.AUDIO_CTX_BUCKETS:
+                if b >= self.cfg.n_audio_ctx:
+                    continue
+                try:
+                    xa = self._encode_window(np.zeros((1, b * 320), np.float32), b)
+                    sot = self.tokenizer.sot_sequence(
+                        "en" if self.cfg.is_multilingual else None
+                    )
+                    self._decode_one(
+                        xa, list(sot), len(sot), 0, 0.0,
+                        self.settings.beam_size, self.settings.best_of,
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
         return time.perf_counter() - t0
 
     # ------------------------------------------------------------------

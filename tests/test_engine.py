@@ -149,3 +149,14 @@ def test_audio_ctx_fixed():
                  audio_ctx=512)
     eng = SttEngine(s, model_name="test", random_init=True)
     assert eng._window_ctx(30 * 16000) == 512
+
+
+def test_warmup_covers_audio_ctx_buckets():
+    s = Settings(enable_vad=False, beam_size=1, parallel_requests=1,
+                 audio_ctx=-1)
+    eng = SttEngine(s, model_name="test", random_init=True)
+    secs = eng.warmup()
+    assert secs > 0.0
+    clip = make_speechlike(2.0)
+    res = eng.transcribe(clip, 16000, RequestOptions(language="en"))
+    assert isinstance(res, list)

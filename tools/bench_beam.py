@@ -38,6 +38,7 @@ from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
 MODEL = os.environ.get("BENCH_MODEL", "large-v3")
 B = int(os.environ.get("BENCH_BATCH", "8"))
 K = int(os.environ.get("BENCH_BEAM", "5"))
+KV_BITS = 4 if os.environ.get("BENCH_COMPUTE", "int8").startswith("int4") else 8
 DECODE_TOKENS = 128
 
 
@@ -61,7 +62,9 @@ def main():
     @jax.jit
     def pipeline(p, a):
         mel = compute_log_mel(a, n_mels=cfg.n_mels, dtype=cfg.dtype)
-        xa_kv = quantize_xa_kv(precompute_xa_kv(cfg, p, encoder_apply(cfg, p, mel)))
+        xa_kv = quantize_xa_kv(
+            precompute_xa_kv(cfg, p, encoder_apply(cfg, p, mel)), KV_BITS
+        )
         return decode_window_beam(
             cfg, p, xa_kv, tinit, len(sot), 0, ids, sup,
             beam_size=K, max_len=max_len,
@@ -79,7 +82,7 @@ def main():
 
     rtfx = B * 30.0 / dt
     print(json.dumps({
-        "metric": f"RTFx_beam{K}_batch{B}_{MODEL}_{DECODE_TOKENS}tok",
+        "metric": f"RTFx_beam{K}_batch{B}_{MODEL}_kv{KV_BITS}_{DECODE_TOKENS}tok",
         "value": round(rtfx, 1),
         "unit": "audio_sec/sec/chip",
     }))

@@ -36,7 +36,9 @@ INCREMENTAL = os.environ.get("BENCH_INCREMENTAL", "0") == "1"
 
 def main():
     s = Settings(enable_vad=False, beam_size=1, best_of=1,
-                 parallel_requests=1, compute_type="int8")
+                 parallel_requests=1, compute_type="int8",
+                 audio_ctx=int(os.environ.get(
+                     "STT_WHISPER_SERVICE_AUDIO_CTX", "0")))
     eng = SttEngine(s, model_name=MODEL, random_init=True)
     eng.warmup()
 
