@@ -16,7 +16,9 @@ Format (whisper.cpp model loader):
                       i32 ne[n_dims] (fastest-varying first),
                       name bytes, raw data}
 
-Tensor dtypes: 0=f32, 1=f16, 2=q4_0, 3=q4_1, 6=q5_0, 7=q5_1, 8=q8_0.
+Tensor dtypes: 0=f32, 1=f16, 2=q4_0, 3=q4_1, 6=q5_0, 7=q5_1, 8=q8_0,
+plus the 256-element super-block k-quants 12=q4_K, 13=q5_K, 14=q6_K
+(whisper.cpp's quantize tool emits these for the _S/_M presets).
 """
 
 from __future__ import annotations
@@ -42,7 +44,82 @@ _QUANT_BLOCKS = {
     6: (32, 22),  # q5_0: fp16 d + 4B qh + 16B
     7: (32, 24),  # q5_1: fp16 d, m + 4B qh + 16B
     8: (32, 34),  # q8_0: fp16 d + 32B
+    12: (256, 144),  # q4_K: fp16 d, dmin + 12B packed scales + 128B qs
+    13: (256, 176),  # q5_K: q4_K + 32B qh (5th bits)
+    14: (256, 210),  # q6_K: 128B ql + 64B qh + 16 int8 scales + fp16 d
 }
+
+
+def _scale_min_k4(sc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack q4_K/q5_K's 12-byte scale block → (scales, mins) [N, 8],
+    6-bit each (ggml get_scale_min_k4 semantics)."""
+    sc = sc.astype(np.uint8)
+    scales = np.empty(sc.shape[:-1] + (8,), np.float32)
+    mins = np.empty_like(scales)
+    for j in range(4):
+        scales[..., j] = (sc[..., j] & 63).astype(np.float32)
+        mins[..., j] = (sc[..., j + 4] & 63).astype(np.float32)
+    for j in range(4, 8):
+        scales[..., j] = (
+            (sc[..., j + 4] & 0x0F) | ((sc[..., j - 4] >> 6) << 4)
+        ).astype(np.float32)
+        mins[..., j] = (
+            (sc[..., j + 4] >> 4) | ((sc[..., j] >> 6) << 4)
+        ).astype(np.float32)
+    return scales, mins
+
+
+def _dequantize_k(b: np.ndarray, ttype: int) -> np.ndarray:
+    """Dequantize k-quant super-blocks. b: [N, block_bytes] uint8 →
+    [N, 256] f32. Vectorized ports of ggml's dequantize_row_q{4,5,6}_K."""
+    N = b.shape[0]
+    if ttype in (12, 13):  # q4_K / q5_K
+        d = b[:, :2].copy().view("<f2").astype(np.float32)  # [N,1]
+        dmin = b[:, 2:4].copy().view("<f2").astype(np.float32)
+        scales, mins = _scale_min_k4(b[:, 4:16])  # [N,8] each
+        qs_off = 16 + (32 if ttype == 13 else 0)
+        qs = b[:, qs_off : qs_off + 128]  # [N,128]
+        # Element order: for each 64-chunk j (4 of them): 32 low nibbles
+        # (scale group 2j), then 32 high nibbles (group 2j+1).
+        q = qs.reshape(N, 4, 32)
+        lo = (q & 0x0F).astype(np.float32)
+        hi = (q >> 4).astype(np.float32)
+        vals = np.stack([lo, hi], axis=2)  # [N,4,2,32]
+        if ttype == 13:
+            qh = b[:, 16:48].reshape(N, 1, 32)  # [N,1,32], shared per block
+            # 5th bit: u1 = 1 << (2j) for low nibbles, 1 << (2j+1) for high.
+            shifts = np.arange(8, dtype=np.uint8).reshape(1, 4, 2, 1)
+            fifth = ((qh[:, :, None, :] >> shifts) & 1).astype(np.float32)
+            vals = vals + 16.0 * fifth
+        sc = scales.reshape(N, 4, 2, 1)
+        mn = mins.reshape(N, 4, 2, 1)
+        y = d[:, :, None, None] * sc * vals - dmin[:, :, None, None] * mn
+        return y.reshape(N, 256)
+    if ttype == 14:  # q6_K
+        ql = b[:, :128]
+        qh = b[:, 128:192]
+        sc = b[:, 192:208].view(np.int8).astype(np.float32)  # [N,16]
+        d = b[:, 208:210].copy().view("<f2").astype(np.float32)  # [N,1]
+        y = np.empty((N, 256), np.float32)
+        # Two 128-element halves; within each: 4 interleaved 32-groups.
+        for half in range(2):
+            qlh = ql[:, half * 64 : (half + 1) * 64]
+            qhh = qh[:, half * 32 : (half + 1) * 32]
+            sch = sc[:, half * 8 : (half + 1) * 8]
+            l = np.arange(32)
+            q1 = (qlh[:, :32] & 0x0F) | (((qhh >> 0) & 3) << 4)
+            q2 = (qlh[:, 32:] & 0x0F) | (((qhh >> 2) & 3) << 4)
+            q3 = (qlh[:, :32] >> 4) | (((qhh >> 4) & 3) << 4)
+            q4 = (qlh[:, 32:] >> 4) | (((qhh >> 6) & 3) << 4)
+            grp = l // 16  # scale index within [0,2): is = l/16
+            base = half * 128
+            for k, qv in enumerate((q1, q2, q3, q4)):
+                scale = sch[:, grp + 2 * k]  # [N,32]
+                y[:, base + 32 * k : base + 32 * (k + 1)] = (
+                    d * scale * (qv.astype(np.float32) - 32.0)
+                )
+        return y
+    raise ValueError(f"unsupported k-quant type {ttype}")
 
 
 def _dequantize(raw: bytes, ttype: int, n_elems: int) -> np.ndarray:
@@ -92,6 +169,8 @@ def _dequantize(raw: bytes, ttype: int, n_elems: int) -> np.ndarray:
         d = b[:, :2].copy().view("<f2").astype(np.float32)
         q = b[:, 2:34].view(np.int8).astype(np.float32)
         return (q * d).reshape(-1)
+    if ttype in (12, 13, 14):  # k-quants
+        return _dequantize_k(b, ttype).reshape(-1)
     raise ValueError(f"unsupported ggml tensor type {ttype}")
 
 

@@ -166,3 +166,120 @@ def test_model_name_normalization():
     assert ModelManager.model_name_from_filename("ggml-medium.bin") == "medium"
     assert ModelManager.model_name_from_filename("ggml-large-v3.bin") == "large-v3"
     assert ModelManager.model_name_from_filename("custom.bin") == "custom"
+
+
+# ---------------------------------------------------------------------------
+# k-quant dequantization (q4_K / q5_K / q6_K) vs scalar ggml-port oracles
+# ---------------------------------------------------------------------------
+
+
+def _oracle_scale_min_k4(j, q):
+    if j < 4:
+        return q[j] & 63, q[j + 4] & 63
+    d = (q[j + 4] & 0xF) | ((q[j - 4] >> 6) << 4)
+    m = (q[j + 4] >> 4) | ((q[j] >> 6) << 4)
+    return d, m
+
+
+def _oracle_q4k(block):
+    import numpy as np
+    d = np.frombuffer(block[0:2], "<f2")[0].astype(np.float32)
+    dmin = np.frombuffer(block[2:4], "<f2")[0].astype(np.float32)
+    scales = block[4:16]
+    qs = block[16:144]
+    y = []
+    is_ = 0
+    q = 0
+    for _j in range(0, 256, 64):
+        sc1, m1 = _oracle_scale_min_k4(is_, scales)
+        sc2, m2 = _oracle_scale_min_k4(is_ + 1, scales)
+        for l in range(32):
+            y.append(float(d) * sc1 * (qs[q + l] & 0xF) - float(dmin) * m1)
+        for l in range(32):
+            y.append(float(d) * sc2 * (qs[q + l] >> 4) - float(dmin) * m2)
+        q += 32
+        is_ += 2
+    return np.asarray(y, np.float32)
+
+
+def _oracle_q5k(block):
+    import numpy as np
+    d = np.frombuffer(block[0:2], "<f2")[0].astype(np.float32)
+    dmin = np.frombuffer(block[2:4], "<f2")[0].astype(np.float32)
+    scales = block[4:16]
+    qh = block[16:48]
+    qs = block[48:176]
+    y = []
+    is_ = 0
+    q = 0
+    u1, u2 = 1, 2
+    for _j in range(0, 256, 64):
+        sc1, m1 = _oracle_scale_min_k4(is_, scales)
+        sc2, m2 = _oracle_scale_min_k4(is_ + 1, scales)
+        for l in range(32):
+            v = (qs[q + l] & 0xF) + (16 if qh[l] & u1 else 0)
+            y.append(float(d) * sc1 * v - float(dmin) * m1)
+        for l in range(32):
+            v = (qs[q + l] >> 4) + (16 if qh[l] & u2 else 0)
+            y.append(float(d) * sc2 * v - float(dmin) * m2)
+        q += 32
+        is_ += 2
+        u1 <<= 2
+        u2 <<= 2
+    return np.asarray(y, np.float32)
+
+
+def _oracle_q6k(block):
+    import numpy as np
+    ql = block[0:128]
+    qh = block[128:192]
+    sc = np.frombuffer(block[192:208], np.int8)
+    d = np.frombuffer(block[208:210], "<f2")[0].astype(np.float32)
+    y = np.zeros(256, np.float32)
+    for half in range(2):
+        base = half * 128
+        qlh = ql[half * 64 :]
+        qhh = qh[half * 32 :]
+        sch = sc[half * 8 :]
+        for l in range(32):
+            is_ = l // 16
+            q1 = ((qlh[l] & 0xF) | (((qhh[l] >> 0) & 3) << 4)) - 32
+            q2 = ((qlh[l + 32] & 0xF) | (((qhh[l] >> 2) & 3) << 4)) - 32
+            q3 = ((qlh[l] >> 4) | (((qhh[l] >> 4) & 3) << 4)) - 32
+            q4 = ((qlh[l + 32] >> 4) | (((qhh[l] >> 6) & 3) << 4)) - 32
+            y[base + l] = float(d) * sch[is_] * q1
+            y[base + l + 32] = float(d) * sch[is_ + 2] * q2
+            y[base + l + 64] = float(d) * sch[is_ + 4] * q3
+            y[base + l + 96] = float(d) * sch[is_ + 6] * q4
+    return y
+
+
+def test_kquant_dequant_matches_scalar_oracle():
+    from sentiric_stt_whisper_service_tpu.checkpoint.ggml import (
+        _QUANT_BLOCKS,
+        _dequantize,
+    )
+
+    rng = np.random.default_rng(11)
+    oracles = {12: _oracle_q4k, 13: _oracle_q5k, 14: _oracle_q6k}
+    for ttype, oracle in oracles.items():
+        _, blk_bytes = _QUANT_BLOCKS[ttype]
+        n_blocks = 5
+        raw = rng.integers(0, 256, n_blocks * blk_bytes, dtype=np.uint8)
+        # keep fp16 d/dmin finite/sane
+        for i in range(n_blocks):
+            off = i * blk_bytes + (208 if ttype == 14 else 0)
+            raw[off : off + 2] = np.frombuffer(
+                np.float16(rng.uniform(0.01, 0.2)).tobytes(), np.uint8
+            )
+            if ttype in (12, 13):
+                raw[i * blk_bytes + 2 : i * blk_bytes + 4] = np.frombuffer(
+                    np.float16(rng.uniform(0.01, 0.2)).tobytes(), np.uint8
+                )
+        got = _dequantize(raw.tobytes(), ttype, n_blocks * 256)
+        want = np.concatenate(
+            [oracle(raw[i * blk_bytes : (i + 1) * blk_bytes].tobytes())
+             for i in range(n_blocks)]
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"ttype {ttype}")
