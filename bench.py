@@ -34,7 +34,7 @@ def main():
     import os
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    B = int(os.environ.get("BENCH_BATCH", "24"))  # measured sweet spot (PERF.md)
+    B = int(os.environ.get("BENCH_BATCH", "56"))  # measured sweet spot (PERF.md)
     DECODE_TOKENS = 128
     # int8 = the reference's default compute_type (config.h:45); weight-only
     # int8 + int8 cross-KV (ops/quant.py) on the bandwidth-bound decode path.

@@ -461,20 +461,50 @@ def _pair_queries(qr: jnp.ndarray) -> jnp.ndarray:
 
 
 
-def precompute_xa_kv(cfg: WhisperConfig, params: Params, xa: jnp.ndarray) -> dict:
+def precompute_xa_kv(
+    cfg: WhisperConfig, params: Params, xa: jnp.ndarray, bits: int = 0
+) -> dict:
     """Cross-attention K/V from encoder output, once per window.
 
-    xa: [B, 1500, d] → {"k","v"}: [L, B, H, hd, 1500] (KF layout)."""
+    xa: [B, 1500, d] → {"k","v"}: [L, B, H, hd, 1500] (KF layout).
+
+    ``bits`` = 8/4 quantizes INSIDE the per-layer scan, so the full bf16
+    slab (≈6 GB at large-v3 B=24) is never materialized — only the
+    int8/packed-int4 form leaves the scan. Same numerics as
+    ``quantize_xa_kv`` applied afterwards."""
     blocks = params["decoder"]["blocks"]
     h = cfg.n_text_head
+
+    def quant(x):  # [B, H, hd, F] bf16 → quantized leaves
+        from ..ops.quant import _pack_nibbles
+
+        x32 = x.astype(jnp.float32)
+        qmax = 7.0 if bits == 4 else 127.0
+        amax = jnp.max(jnp.abs(x32), axis=-2)
+        scale = jnp.maximum(amax / qmax, 1e-12)
+        q = jnp.clip(jnp.round(x32 / scale[..., None, :]), -qmax, qmax).astype(
+            jnp.int8
+        )
+        if bits == 4:
+            return _pack_nibbles(q), scale
+        return q, scale
 
     def per_layer(carry, layer):
         ca = layer["cross_attn"]
         k = _split_heads(dense(xa, ca["k"]), h).transpose(0, 2, 3, 1)
         v = _split_heads(dense(xa, ca["v"]), h).transpose(0, 2, 3, 1)
+        if bits:
+            return carry, (*quant(k), *quant(v))
         return carry, (k, v)
 
-    _, (ks, vs) = jax.lax.scan(per_layer, None, blocks)
+    _, ys = jax.lax.scan(per_layer, None, blocks)
+    if bits == 8:
+        k_q, k_scale, v_q, v_scale = ys
+        return {"k_q": k_q, "k_scale": k_scale, "v_q": v_q, "v_scale": v_scale}
+    if bits == 4:
+        k_p, k_scale, v_p, v_scale = ys
+        return {"k_p": k_p, "k_scale": k_scale, "v_p": v_p, "v_scale": v_scale}
+    ks, vs = ys
     return {"k": ks, "v": vs}
 
 
@@ -1011,11 +1041,7 @@ encode_xa_kv = jax.jit(
 
 
 def _encode_xa_kv_q(cfg, params, mel, bits: int = 8):
-    from ..ops.quant import quantize_xa_kv
-
-    return quantize_xa_kv(
-        precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel)), bits
-    )
+    return precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel), bits)
 
 
 encode_xa_kv_q = jax.jit(_encode_xa_kv_q, static_argnums=(0, 3))

@@ -356,7 +356,7 @@ def _encode_q_op(cfg, params, audio):
     from ..ops.quant import quantize_xa_kv
 
     mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
-    return quantize_xa_kv(precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel)))
+    return precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel), bits=8)
 
 
 @functools.partial(

@@ -905,12 +905,9 @@ def _encode_audio_op(cfg, params, audio, kv_bits: int):
     from ..models.whisper import encoder_apply, precompute_xa_kv
 
     mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
-    xa = precompute_xa_kv(cfg, params, encoder_apply(cfg, params, mel))
-    if kv_bits:
-        from ..ops.quant import quantize_xa_kv
-
-        return quantize_xa_kv(xa, kv_bits)
-    return xa
+    return precompute_xa_kv(
+        cfg, params, encoder_apply(cfg, params, mel), kv_bits
+    )
 
 
 def _compression_ratio(text: str) -> float:
