@@ -81,9 +81,13 @@ def main():
             jnp.float32(0.0), jax.random.key(1), max_len=max_len,
         )
 
-    res = pipeline(params, audio)  # warmup / compile
-    _ = int(np.asarray(res.lengths).sum())  # hard sync (scalar pull;
-    # block_until_ready can return early on axon)
+    # Warmup: compile + 2 steady-state rounds (the first post-compile
+    # iterations run slow on a cold chip; process-to-process RTFx varies
+    # ±10% on axon regardless — see docs/PERF.md methodology).
+    for _ in range(3):
+        res = pipeline(params, audio)
+        _ = int(np.asarray(res.lengths).sum())  # hard sync (scalar pull;
+        # block_until_ready can return early on axon)
 
     # Steady-state throughput: queue all iterations, sync once at the end —
     # launch latency overlaps compute exactly as in a loaded server.

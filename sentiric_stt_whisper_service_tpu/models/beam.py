@@ -101,7 +101,10 @@ def _decode_window_beam_impl(
     B, ctx = tokens_init.shape
     K = beam_size
     BK = B * K
-    cache_len = min(ctx, -(-max_len // 64) * 64)  # position-major: sublane-axis slab
+    cache_len = min(ctx, -(-max_len // 32) * 32)  # 32-row granularity: every
+    # step streams the whole slab, so a 131-token decode reads a 160-row
+    # slab instead of 192 (bf16 sublane tile is 16 rows — 32 stays aligned
+    # and bounds the shape-class count)
 
     # Prefill ONCE at batch B (all beams are identical before sampling), then
     # place the prefilled cache in each item's physical slot 0; the ancestry

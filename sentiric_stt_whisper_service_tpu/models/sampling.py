@@ -320,7 +320,10 @@ def _decode_window_impl(
     # Right-size the self-attention KV slab: every decode step reads the
     # whole slab from HBM, so a 448-slot slab for a 140-token decode would
     # triple that traffic.
-    cache_len = min(ctx, -(-max_len // 64) * 64)  # position-major: sublane-axis slab
+    cache_len = min(ctx, -(-max_len // 32) * 32)  # 32-row granularity: every
+    # step streams the whole slab, so a 131-token decode reads a 160-row
+    # slab instead of 192 (bf16 sublane tile is 16 rows — 32 stays aligned
+    # and bounds the shape-class count)
     # Head-paired slab: full 128-lane rows, 2x effective read bandwidth
     # (init_kv_cache; tools/bench_self_layout.py).
     kv = init_kv_cache(cfg, B, cache_len, paired=pairing_ok(cfg))
