@@ -84,6 +84,9 @@ class RequestOptions:
     best_of: int = -1
     prosody_opts: ProsodyOptions = dataclasses.field(default_factory=ProsodyOptions)
     should_abort: Optional[Callable[[], bool]] = None
+    # Encoder audio context override (whisper.cpp's audio_ctx): None =
+    # server setting; 0 = full; -1 = auto-bucket; N = fixed positions.
+    audio_ctx: Optional[int] = None
     # True (default) = sequential windows with prompt carry-over (whisper /
     # reference semantics). False = all 30 s windows decoded in ONE batched
     # call (fixed stride, no conditioning) — a TPU-native fast path the
@@ -254,11 +257,14 @@ class SttEngine:
     # bucket; 384 ≈ 7.7 s, 768 ≈ 15.4 s, 1152 ≈ 23 s.
     AUDIO_CTX_BUCKETS = (384, 768, 1152, 1500)
 
-    def _window_ctx(self, remain_samples: int) -> Optional[int]:
+    def _window_ctx(
+        self, remain_samples: int, override: Optional[int] = None
+    ) -> Optional[int]:
         """Encoder context for a window with ``remain_samples`` of real
         audio, or None for the full 1500 (settings.audio_ctx knob —
-        whisper.cpp's audio_ctx speed/accuracy trade)."""
-        ac = self.settings.audio_ctx
+        whisper.cpp's audio_ctx speed/accuracy trade; per-request
+        RequestOptions.audio_ctx overrides)."""
+        ac = self.settings.audio_ctx if override is None else override
         if ac == 0:
             return None
         full = self.cfg.n_audio_ctx
@@ -378,7 +384,9 @@ class SttEngine:
         window = np.zeros(N_SAMPLES, np.float32)
         n = min(audio.shape[0], N_SAMPLES)
         window[:n] = audio[:n]
-        xa_kv = self._encode_window(window[None], self._window_ctx(n))
+        xa_kv = self._encode_window(
+            window[None], self._window_ctx(n, options.audio_ctx)
+        )
         sp = self.tokenizer.special
         probs = detect_language(
             self.cfg, self.params, xa_kv, sp.sot, sp.language_begin, sp.num_languages
@@ -515,7 +523,9 @@ class SttEngine:
             window[:remain] = audio[seek : seek + remain]
             window_dur_cs = int(round(remain / SAMPLE_RATE * 100))  # centisec
 
-            xa_kv = self._encode_window(window[None], self._window_ctx(remain))
+            xa_kv = self._encode_window(
+                window[None], self._window_ctx(remain, options.audio_ctx)
+            )
 
             # Decoder preamble: [sot_prev + carried/prompt] [sot lang task].
             prefix = prompt_text_tokens + carried_tokens

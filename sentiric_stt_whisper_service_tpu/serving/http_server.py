@@ -135,6 +135,7 @@ class HttpServer:
         for name, cast, attr in (
             ("temperature", float, "temperature"),
             ("beam_size", int, "beam_size"),
+            ("audio_ctx", int, "audio_ctx"),
         ):
             if name in fields:
                 try:

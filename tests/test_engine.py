@@ -160,3 +160,17 @@ def test_warmup_covers_audio_ctx_buckets():
     clip = make_speechlike(2.0)
     res = eng.transcribe(clip, 16000, RequestOptions(language="en"))
     assert isinstance(res, list)
+
+
+def test_audio_ctx_request_override():
+    s = Settings(enable_vad=False, beam_size=1, parallel_requests=1)
+    eng = SttEngine(s, model_name="test", random_init=True)
+    # server default full; per-request auto-bucket
+    assert eng._window_ctx(3 * 16000) is None
+    assert eng._window_ctx(3 * 16000, -1) == 384
+    assert eng._window_ctx(3 * 16000, 512) == 512
+    clip = make_speechlike(1.5)
+    res = eng.transcribe(
+        clip, 16000, RequestOptions(language="en", audio_ctx=-1)
+    )
+    assert isinstance(res, list)
