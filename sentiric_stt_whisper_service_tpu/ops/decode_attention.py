@@ -161,6 +161,91 @@ def decode_attention(
     return out[:, :, 0]
 
 
+def _i4_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, n_heads):
+    """One fat program per sequence item: all H heads' int4 cross
+    attention with the slab DMA'd once ([1,H,hd,F] int4 ≈ 1 MB at
+    large-v3 — per-(s,h) programs are DMA-latency-bound at ~90 GB/s,
+    per-item programs amortize to the bandwidth floor)."""
+
+    # q/scales/out ride 4-D blocks [1, H, 1, lanes]: H sits on an UNTILED
+    # dim so the per-head dynamic index lowers (dynamic indexing of a
+    # sublane-tiled dim has no Mosaic lowering — the 3-D [1,H,lanes] form
+    # fails on the q load).
+    def body(h, _):
+        qh = q_ref[0, h]  # [1, hd] bf16 (pre-scaled)
+        scores = jax.lax.dot_general(
+            qh, k_ref[0, h].astype(qh.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, F]
+        scores = scores * ks_ref[0, h]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        ssum = jnp.sum(e, axis=-1, keepdims=True)
+        w = (e * vs_ref[0, h]).astype(qh.dtype)
+        ov = jax.lax.dot_general(
+            w, v_ref[0, h].astype(qh.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, hd]
+        o_ref[0, h] = (ov / ssum).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_heads, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def decode_attention_i4(
+    q: jnp.ndarray,  # [S, H, hd] bf16
+    k_q: jnp.ndarray,  # [S, H, hd, F] int4 (in-jit value; axon cannot
+    #   pass int4 across jit boundaries — ops/quant.py packed carrier)
+    v_q: jnp.ndarray,
+    k_scale: jnp.ndarray,  # [S, H, F] f32
+    v_scale: jnp.ndarray,
+    scale: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused single-token cross-attention over native-int4 slabs.
+    Returns [S, H, hd].
+
+    MEASURED NEGATIVE RESULT (kept for future tiling work, like the
+    per-(s,h) kernels above): at [56,20,64,1500] the per-item fat
+    program with an in-kernel head loop reaches only ~144 GB/s effective
+    vs ~381 GB/s for the XLA formulation — the fori over 20 M=1 heads
+    serializes compute that XLA pipelines as one batched contraction,
+    and the DMA saving (int4 bytes vs the convert pass) doesn't cover
+    it. Production keeps the XLA path (_attend_xa_step). Numerics match
+    the reference to 6e-5."""
+    S, H, hd = q.shape
+    F = k_q.shape[-1]
+    qs = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)[:, :, None, :]
+
+    def spec(block):
+        return pl.BlockSpec(block, lambda s: (s, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_i4_kernel, n_heads=H),
+        grid=(S,),
+        in_specs=[
+            spec((1, H, 1, hd)),
+            spec((1, H, hd, F)),
+            spec((1, H, hd, F)),
+            spec((1, H, 1, F)),
+            spec((1, H, 1, F)),
+        ],
+        out_specs=spec((1, H, 1, hd)),
+        out_shape=jax.ShapeDtypeStruct((S, H, 1, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * S * H * hd * F,
+            bytes_accessed=S * H * hd * F + S * H * F * 8,
+            transcendentals=S * H * F,
+        ),
+        interpret=interpret,
+    )(qs, k_q, v_q, k_scale[:, :, None, :], v_scale[:, :, None, :])
+    return out[:, :, 0]
+
+
 def decode_attention_reference(q, k, v, k_scale=None, v_scale=None,
                                pos=None, scale=1.0, out_dtype=None):
     """XLA fallback with identical numerics (KF layout, fp32 softmax)."""
