@@ -140,3 +140,44 @@ def test_timestamp_rules_force_pairing():
     )
     assert out2[ids.timestamp_begin + 20] < -1e29
     assert out2[100] > -1e29
+
+
+def test_paired_cache_matches_unpaired(setup):
+    """Head-paired self cache ([L,B,H/2,C,2·hd], zero-padded M=2 queries)
+    must be numerically EQUIVALENT to the unpaired layout — prefill and
+    per-step logits (fp32 mini model: exact up to contraction order)."""
+    from sentiric_stt_whisper_service_tpu.models.whisper import (
+        decoder_apply,
+        init_kv_cache,
+        precompute_xa_kv,
+    )
+
+    cfg, params, xa = setup
+    xa_kv = precompute_xa_kv(cfg, params, xa)
+    tok = fallback_tokenizer(cfg.n_vocab)
+    prompt = jnp.asarray(
+        np.tile(np.asarray(tok.sot_sequence("en"), np.int32), (2, 1))
+    )
+
+    outs = {}
+    for paired in (False, True):
+        kv = init_kv_cache(cfg, 2, 64, paired=paired)
+        logits, kv, _ = decoder_apply(
+            cfg, params, prompt, jnp.int32(0), kv, xa_kv
+        )
+        # two single-token steps on top of the prefill
+        step_logits = []
+        tok_next = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        pos = prompt.shape[1]
+        for _ in range(2):
+            l1, kv, _ = decoder_apply(
+                cfg, params, tok_next[:, None], jnp.int32(pos), kv, xa_kv
+            )
+            step_logits.append(np.asarray(l1[:, 0], np.float32))
+            tok_next = jnp.argmax(l1[:, 0], -1).astype(jnp.int32)
+            pos += 1
+        outs[paired] = (np.asarray(logits, np.float32), step_logits)
+
+    np.testing.assert_allclose(outs[False][0], outs[True][0], atol=2e-4, rtol=1e-4)
+    for a, b in zip(outs[False][1], outs[True][1]):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
