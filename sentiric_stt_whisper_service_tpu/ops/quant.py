@@ -204,6 +204,15 @@ def _unpack_nibbles(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int4)
 
 
+def unpack_nibbles_i8(p: jnp.ndarray) -> jnp.ndarray:
+    """Packed int8 [.., F/2] → int8 [.., F] holding the int4 values in
+    [-7, 7] (the batcher's state container: int4 can't live across jit
+    boundaries on axon, and its slot slabs persist between executables)."""
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def unpack_xa_kv(xa_kv: dict) -> dict:
     """Materialize a packed int4 carrier (``quantize_xa_kv(bits=4)``) as a
     native-int4 KV dict for the attention contractions. MUST run inside a

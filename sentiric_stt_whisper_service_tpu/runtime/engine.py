@@ -13,9 +13,12 @@ long-form decode loop that the reference gets from whisper.cpp's
   slice, per-request speaker clustering).
 
 Quality-gate semantics (whisper.cpp parity, SURVEY.md §2.3):
-  * retry at next temperature when zlib compression ratio > 2.4
-    (the reference surfaces this as ``entropy_thold=2.40``,
-    stt_engine.cpp:241) or avg logprob < logprob_threshold (−0.7);
+  * retry at next temperature when the quality gate fails — default is
+    whisper.cpp's entropy form behind the reference's ``entropy_thold=2.40``
+    (stt_engine.cpp:241): >32 sampled tokens whose last-32 count entropy is
+    below 2.40 (``Settings.quality_gate="compression_ratio"`` selects
+    openai-whisper's zlib-ratio>2.4 form instead) — or when avg logprob <
+    logprob_threshold (−0.7);
   * window treated as silence when no_speech_prob > 0.85 AND avg logprob
     < logprob_threshold;
   * ladder: start temperature, then +0.2 steps up to 1.0; beam search only
@@ -54,7 +57,14 @@ from ..text import clean_utf8, is_hallucination
 from ..tokenizer import LANGUAGES, WhisperTokenizer, fallback_tokenizer
 from .vad import is_speech_detected
 
-COMPRESSION_RATIO_THRESHOLD = 2.4  # entropy_thold in the reference (:241)
+# The reference hardcodes entropy_thold=2.40 (stt_engine.cpp:241), which
+# whisper.cpp applies as: entropy of the TOKEN-COUNT distribution over the
+# last 32 sampled text tokens < 2.40 AND more than 32 tokens sampled ⇒
+# repetitive output ⇒ retry at the next temperature. openai-whisper's
+# analogous gate is zlib compression ratio > 2.4. Both are implemented;
+# Settings.quality_gate selects ("entropy" = reference parity, default).
+ENTROPY_THRESHOLD = 2.4
+COMPRESSION_RATIO_THRESHOLD = 2.4  # openai-whisper semantics
 MIN_SEGMENT_AVG_PROB = 0.40  # segment drop gate (stt_engine.cpp:263-264)
 SAMPLE_LEN = 224  # max sampled tokens per window (whisper: n_text_ctx // 2)
 
@@ -101,6 +111,9 @@ class TranscriptionResult:
 
     text: str = ""
     language: str = ""
+    # Detect-language max softmax prob (1.0 when pinned) — the proto's
+    # language_probability field, which the reference never fills.
+    language_probability: float = 0.0
     prob: float = 0.0
     t0: int = 0  # centiseconds
     t1: int = 0
@@ -187,25 +200,30 @@ class SttEngine:
         self._ready = True
         self._rng = jax.random.key(int(time.time()) & 0x7FFFFFFF)
         self._rng_lock = threading.Lock()
-        self._batcher = None
+        self._batchers: dict[int, "ContinuousBatcher"] = {}
         self._batcher_lock = threading.Lock()
 
-    def _get_batcher(self):
-        """Shared continuous batcher for greedy decodes (lazy)."""
+    def _get_batcher(self, xa_ctx: Optional[int] = None):
+        """Shared continuous batcher for greedy decodes, one pool per
+        cross-attention context width (audio_ctx bucket) so cropped
+        windows batch too; pools are lazy — only buckets actually served
+        pay their HBM slab."""
+        xa_ctx = xa_ctx or self.cfg.n_audio_ctx
         with self._batcher_lock:
-            if self._batcher is None:
+            if xa_ctx not in self._batchers:
                 from .batcher import ContinuousBatcher
 
-                self._batcher = ContinuousBatcher(
+                self._batchers[xa_ctx] = ContinuousBatcher(
                     self.cfg,
                     self.params,
                     self.ids,
                     self.suppress_mask,
                     max_slots=max(2, self.settings.max_batch_size),
                     cache_len=256,
-                    quantize_kv=self.quantized,
+                    kv_bits=self.xa_bits,
+                    xa_ctx=xa_ctx,
                 )
-            return self._batcher
+            return self._batchers[xa_ctx]
 
     # ------------------------------------------------------------------
     def warmup(self) -> float:
@@ -241,6 +259,14 @@ class SttEngine:
         return time.perf_counter() - t0
 
     # ------------------------------------------------------------------
+    def shutdown(self):
+        """Stop the continuous-batcher worker threads (ordered shutdown;
+        the reference tears its state pool down with the engine)."""
+        with self._batcher_lock:
+            for b in self._batchers.values():
+                b.shutdown()
+            self._batchers.clear()
+
     def is_ready(self) -> bool:
         return self._ready
 
@@ -374,12 +400,18 @@ class SttEngine:
         best_of = options.best_of if options.best_of > 0 else s.best_of
         return temperature, beam_size, best_of
 
-    def _resolve_language(self, audio: np.ndarray, options: RequestOptions) -> str:
+    def _resolve_language(
+        self, audio: np.ndarray, options: RequestOptions
+    ) -> tuple[str, float]:
+        """(language, probability). Probability is the detect-language max
+        softmax prob when auto-detected, 1.0 when the caller pinned the
+        language (the reference's proto declares ``language_probability``
+        but never fills it — audio_client.cpp:131-132; we do)."""
         lang = (options.language or self.settings.language or "auto").lower()
         if lang and lang != "auto":
-            return lang
+            return lang, 1.0
         if not self.cfg.is_multilingual:
-            return "en"
+            return "en", 1.0
         # Language detect on the first window (SURVEY.md §2.3).
         window = np.zeros(N_SAMPLES, np.float32)
         n = min(audio.shape[0], N_SAMPLES)
@@ -388,10 +420,14 @@ class SttEngine:
             window[None], self._window_ctx(n, options.audio_ctx)
         )
         sp = self.tokenizer.special
-        probs = detect_language(
-            self.cfg, self.params, xa_kv, sp.sot, sp.language_begin, sp.num_languages
-        )
-        return LANGUAGES[int(np.argmax(np.asarray(probs)[0]))]
+        probs = np.asarray(
+            detect_language(
+                self.cfg, self.params, xa_kv, sp.sot, sp.language_begin,
+                sp.num_languages,
+            )
+        )[0]
+        best = int(np.argmax(probs))
+        return LANGUAGES[best], float(probs[best])
 
     def _decode_one(
         self,
@@ -426,16 +462,14 @@ class SttEngine:
             temperature <= 0.0
             and beam_size <= 1
             and self.settings.parallel_requests > 1
-            # The batcher's slot state is a fixed full-context slab; a
-            # cropped audio_ctx window decodes via the one-shot path.
-            and xa_f == self.cfg.n_audio_ctx
         ):
             # Greedy decodes share the continuous batcher so concurrent
             # requests ride one decode step (replaces the reference's
-            # state pool with real batching).
+            # state pool with real batching). Cropped audio_ctx windows
+            # route to the pool of their bucket width.
             from ..models.sampling import DecodeResult
 
-            fut = self._get_batcher().submit_encoded(
+            fut = self._get_batcher(xa_f).submit_encoded(
                 xa_kv, init_tokens, sot_index, max_tokens=SAMPLE_LEN,
                 should_abort=should_abort,
             )
@@ -490,7 +524,7 @@ class SttEngine:
         ids = self.ids
         temperature0, beam_size, best_of = self._decode_options(options)
 
-        language = self._resolve_language(audio, options)
+        language, lang_prob = self._resolve_language(audio, options)
         task = "translate" if (options.translate or s.translate) else "transcribe"
 
         clusterer = SpeakerClusterer(s.cluster_threshold)
@@ -507,7 +541,7 @@ class SttEngine:
             and n_windows_total > 1
         ):
             return self._transcribe_batched(
-                audio, options, language, task, clusterer, diarize
+                audio, options, language, lang_prob, task, clusterer, diarize
             )
 
         carried_tokens: list[int] = []
@@ -558,9 +592,8 @@ class SttEngine:
                 text_tokens = [int(x) for x in seq if x < ids.eot]
                 text = tok.decode(text_tokens)
                 avg_lp = float(res.avg_logprobs[0])
-                cr = _compression_ratio(text)
                 needs_fallback = (
-                    cr > COMPRESSION_RATIO_THRESHOLD
+                    quality_gate_fails(s.quality_gate, text, text_tokens)
                     or avg_lp < s.logprob_threshold
                 )
                 no_speech = (
@@ -654,6 +687,7 @@ class SttEngine:
                     TranscriptionResult(
                         text=text,
                         language=language,
+                        language_probability=lang_prob,
                         prob=avg_p,
                         t0=t0_cs,
                         t1=t1_cs,
@@ -694,6 +728,7 @@ class SttEngine:
         audio: np.ndarray,
         options: RequestOptions,
         language: str,
+        lang_prob: float,
         task: str,
         clusterer: SpeakerClusterer,
         diarize: bool,
@@ -767,7 +802,8 @@ class SttEngine:
                         continue
                     seq = toks_np[j, sample_begin : lens_np[j]]
                     tok_lps = lps_np[j, sample_begin : lens_np[j]]
-                    text = tok.decode([int(x) for x in seq if x < ids.eot])
+                    text_toks = [int(x) for x in seq if x < ids.eot]
+                    text = tok.decode(text_toks)
                     avg_lp = float(res.avg_logprobs[j])
                     no_speech = (
                         float(res.no_speech_probs[j]) > s.no_speech_threshold
@@ -777,7 +813,7 @@ class SttEngine:
                         silent.add(j)
                         continue
                     ok = (
-                        _compression_ratio(text) <= COMPRESSION_RATIO_THRESHOLD
+                        not quality_gate_fails(s.quality_gate, text, text_toks)
                         and avg_lp >= s.logprob_threshold
                     )
                     last[j] = (seq, tok_lps)
@@ -831,7 +867,7 @@ class SttEngine:
                 times = token_times.get(j)
                 results.extend(
                     self._build_segment_results(
-                        segments, base_cs, times, audio, language,
+                        segments, base_cs, times, audio, language, lang_prob,
                         options, clusterer, diarize,
                     )
                 )
@@ -849,6 +885,7 @@ class SttEngine:
         token_times,
         audio: np.ndarray,
         language: str,
+        lang_prob: float,
         options: RequestOptions,
         clusterer: SpeakerClusterer,
         diarize: bool,
@@ -892,7 +929,8 @@ class SttEngine:
                 )
             out.append(
                 TranscriptionResult(
-                    text=text, language=language, prob=avg_p,
+                    text=text, language=language,
+                    language_probability=lang_prob, prob=avg_p,
                     t0=t0_cs, t1=t1_cs, tokens=token_datas,
                     token_count=len(token_datas),
                     gender_proxy=tags.gender_proxy,
@@ -925,6 +963,38 @@ def _compression_ratio(text: str) -> float:
     if not data:
         return 0.0
     return len(data) / len(zlib.compress(data))
+
+
+def _token_entropy(text_tokens) -> float:
+    """whisper.cpp's sequence entropy: -Σ p·ln(p) over the token-count
+    distribution of the last 32 sampled tokens (whisper_sequence_score).
+    High entropy = diverse output; low = repetition loop."""
+    import math
+
+    toks = list(text_tokens)[-32:]
+    if not toks:
+        return 0.0
+    n = len(toks)
+    counts: dict[int, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    return -sum((c / n) * math.log(c / n) for c in counts.values())
+
+
+def quality_gate_fails(mode: str, text: str, text_tokens) -> bool:
+    """Temperature-fallback trigger (avg-logprob check is separate).
+
+    ``mode="entropy"``: whisper.cpp semantics behind the reference's
+    entropy_thold=2.40 (stt_engine.cpp:241) — fails when MORE than 32
+    tokens were sampled and their last-32 count entropy is below 2.40.
+    ``mode="compression_ratio"``: openai-whisper semantics — fails when
+    the zlib compression ratio of the decoded text exceeds 2.4."""
+    if mode == "compression_ratio":
+        return _compression_ratio(text) > COMPRESSION_RATIO_THRESHOLD
+    return (
+        len(text_tokens) > 32
+        and _token_entropy(text_tokens) < ENTROPY_THRESHOLD
+    )
 
 
 def _parse_segments(seq, tok_lps, ids: TokenIds, window_dur_cs: int):

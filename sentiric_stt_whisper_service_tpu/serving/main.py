@@ -65,17 +65,33 @@ def serve(settings: Settings | None = None, random_init: bool = False, block=Tru
                 from ..checkpoint import ModelManager as _MM
 
                 vad_path = _MM.ensure_vad_model(settings)
-                from ..runtime.vad import load_silero
+                from ..models.silero_vad import SileroVad
+                from ..runtime.vad import set_vad_model
 
-                if vad_path and load_silero(str(vad_path)):
-                    suts_info(
-                        "VAD_MODEL_READY", "", "", "",
-                        "Silero VAD loaded from %s", vad_path,
-                    )
+                if vad_path:
+                    try:
+                        model = SileroVad.from_ggml(str(vad_path))
+                        set_vad_model(model, frame_ms=model.frame_ms)
+                        suts_info(
+                            "VAD_MODEL_READY", "", "", "",
+                            "Silero VAD loaded from %s", vad_path,
+                        )
+                    except Exception as parse_err:  # noqa: BLE001
+                        # LOUD fallback: gating behavior changes when the
+                        # energy VAD substitutes for Silero (different
+                        # probability model); operators must see why.
+                        suts_error(
+                            "VAD_FALLBACK_ENERGY", "", "", "",
+                            "Silero checkpoint %s failed to parse (%s); "
+                            "serving with the energy VAD — gating behavior "
+                            "differs from the reference",
+                            vad_path, parse_err,
+                        )
                 else:
-                    suts_info(
-                        "VAD_FALLBACK", "", "", "",
-                        "Silero parse unavailable; using energy VAD",
+                    suts_error(
+                        "VAD_FALLBACK_ENERGY", "", "", "",
+                        "No Silero checkpoint available; serving with the "
+                        "energy VAD",
                     )
             except Exception as e:
                 suts_error(
@@ -121,6 +137,7 @@ def serve(settings: Settings | None = None, random_init: bool = False, block=Tru
         grpc_server.stop(grace=5).wait(10)
         for loop in (http_loop, metrics_loop):
             loop.call_soon_threadsafe(loop.stop)
+        engine.shutdown()
         suts_info("SHUTDOWN_COMPLETE", "", "", "", "Goodbye")
         return None
     return engine, grpc_server, (http_loop, metrics_loop), stop_event

@@ -362,11 +362,85 @@ def test_engine_int4_end_to_end():
         SttEngine,
     )
 
-    s = Settings(enable_vad=False, beam_size=1, parallel_requests=1,
+    # parallel_requests=2 routes greedy decodes through the continuous
+    # batcher — the int4 packed carrier must survive the batcher's slot
+    # state (round-1 regression: KeyError('k_q') hung the request).
+    s = Settings(enable_vad=False, beam_size=1, parallel_requests=2,
                  compute_type="int4")
     eng = SttEngine(s, model_name="test", random_init=True)
-    assert eng.quantized and eng.xa_bits == 4 and is_quantized(eng.params)
-    t = np.arange(16000, dtype=np.float32) / 16000
-    clip = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
-    res = eng.transcribe(clip, 16000, RequestOptions(language="en"))
-    assert isinstance(res, list)
+    try:
+        assert eng.quantized and eng.xa_bits == 4 and is_quantized(eng.params)
+        t = np.arange(16000, dtype=np.float32) / 16000
+        clip = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        res = eng.transcribe(clip, 16000, RequestOptions(language="en"))
+        assert isinstance(res, list)
+    finally:
+        eng.shutdown()
+
+
+def test_batcher_int4_carrier_matches_oneshot(setup):
+    """A packed-int4 carrier submitted to a kv_bits=4 pool decodes to the
+    same tokens as the one-shot int4 decode_window path (the unpacked
+    int8 container holds the identical [-7,7] values + scales)."""
+    from sentiric_stt_whisper_service_tpu.ops.quant import quantize_xa_kv
+    from sentiric_stt_whisper_service_tpu.runtime.batcher import (
+        ContinuousBatcher,
+    )
+
+    params, qparams, xa_kv, xa_q = setup
+    tok = fallback_tokenizer(CFG.n_vocab)
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(CFG.n_vocab, ids, tok.non_speech_tokens))
+    sot = tok.sot_sequence("en")
+    xa_p = quantize_xa_kv({k: v[:, :1] for k, v in xa_kv.items()}, bits=4)
+
+    b = ContinuousBatcher(CFG, qparams, ids, sup, max_slots=2, cache_len=64,
+                          kv_bits=4)
+    try:
+        fut = b.submit_encoded(xa_p, list(sot), 0, max_tokens=16)
+        out = fut.result(timeout=300)
+    finally:
+        b.shutdown()
+
+    tinit = np.full((1, CFG.n_text_ctx), ids.eot, np.int32)
+    tinit[:, : len(sot)] = sot
+    want_res = decode_window(
+        CFG, qparams, xa_p, jnp.asarray(tinit), len(sot), 0, ids, sup,
+        jnp.float32(0.0), jax.random.key(1), max_len=len(sot) + 16,
+    )
+    want = np.asarray(want_res.tokens[0, len(sot) : int(want_res.lengths[0])])
+    want = want[want != ids.eot][:16]
+    got = np.asarray(out["tokens"])[:16]
+    n = min(len(want), len(got))
+    assert n > 0 and (want[:n] == got[:n]).all()
+
+
+def test_poisoned_insert_rejects_future(setup):
+    """A malformed submission must reject its future with the error (not
+    hang), and the pool must keep serving afterwards (round-1 regression:
+    admission failures orphaned the future forever)."""
+    from sentiric_stt_whisper_service_tpu.runtime.batcher import (
+        ContinuousBatcher,
+    )
+
+    params, qparams, xa_kv, xa_q = setup
+    tok = fallback_tokenizer(CFG.n_vocab)
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(CFG.n_vocab, ids, tok.non_speech_tokens))
+    sot = tok.sot_sequence("en")
+
+    b = ContinuousBatcher(CFG, qparams, ids, sup, max_slots=2, cache_len=64,
+                          kv_bits=8)
+    try:
+        # bf16 {"k","v"} into a quantized pool is fine (auto-quantized);
+        # a dict with garbage keys is not representable → must reject.
+        bad = {"bogus": jnp.zeros((1,))}
+        fut = b.submit_encoded(bad, list(sot), 0, max_tokens=8)
+        with pytest.raises(Exception):
+            fut.result(timeout=60)
+        # Pool still alive: a good request completes.
+        xa1 = {k: v[:, :1] for k, v in xa_q.items()}
+        out = b.submit_encoded(xa1, list(sot), 0, max_tokens=8).result(timeout=300)
+        assert len(out["tokens"]) >= 0
+    finally:
+        b.shutdown()

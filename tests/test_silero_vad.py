@@ -138,6 +138,72 @@ def test_missing_tensor_raises(tmp_path, params):
         load_silero_ggml(str(path))
 
 
+def _write_v620_style(path, params, shapes, f16=True, extra_tensor=True):
+    """Byte-exact synthetic ggml-silero-v6.2.0 container: whisper.cpp
+    record layout ({n_dims, name_len, ttype, ne[], name, data}) behind an
+    hparams blob that differs from v5 (the scan must not depend on it),
+    with f16 data and an extra unknown tensor interleaved (simulating
+    container evolution across whisper.cpp releases)."""
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<i", 0x67676D6C))  # magic "ggml"
+        # v6-style hparams blob: different length/content than v5.
+        f.write(struct.pack("<6i", 6, 2, 0, 129, 128, 512))
+        f.write(struct.pack("<f", 0.75))
+        items = list(shapes.items())
+        for idx, (suffix, shape) in enumerate(items):
+            if extra_tensor and idx == 2:
+                # Unknown tensor the v5 table doesn't list.
+                name = b"_model.some_new_v6_tensor"
+                arr = np.zeros((4, 4), np.float32)
+                f.write(struct.pack("<3i", 2, len(name), 0))
+                f.write(struct.pack("<2i", 4, 4))
+                f.write(name)
+                f.write(arr.tobytes())
+            name = f"_model.{suffix}".encode()
+            arr = np.asarray(params[suffix], np.float32)
+            ne = tuple(reversed(arr.shape))
+            ttype = 1 if f16 else 0
+            f.write(struct.pack("<3i", arr.ndim, len(name), ttype))
+            f.write(struct.pack(f"<{arr.ndim}i", *ne))
+            f.write(name)
+            f.write(arr.astype("<f2" if f16 else "<f4").tobytes())
+
+
+def test_v620_container_layout(tmp_path, params):
+    """The provisioned checkpoint is ggml-silero-v6.2.0.bin
+    (/root/reference/src/config.h:25-28). Zero-egress build: verify the
+    parser against a byte-exact synthetic v6.2.0-style container — drifted
+    hparams header, f16 data, _model. prefix, unknown extra tensors."""
+    path = tmp_path / "ggml-silero-v6.2.0.bin"
+    _write_v620_style(str(path), params, TENSOR_SHAPES)
+    loaded = load_silero_ggml(str(path))
+    assert set(loaded) == set(TENSOR_SHAPES)
+    for k in TENSOR_SHAPES:
+        np.testing.assert_allclose(
+            np.asarray(loaded[k]), np.asarray(params[k]), atol=2e-3
+        )  # f16 rounding
+    audio = np.random.default_rng(2).standard_normal(8192).astype(np.float32)
+    a = np.asarray(silero_frame_probs(params, jnp.asarray(audio)))
+    b = np.asarray(silero_frame_probs(loaded, jnp.asarray(audio)))
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_v620_shape_drift_fails_loudly(tmp_path, params):
+    """If a future Silero release changes a tensor shape, the loader must
+    raise (→ serving logs VAD_FALLBACK_ENERGY), never half-parse."""
+    drifted = dict(TENSOR_SHAPES)
+    bad_params = dict(params)
+    # Pretend v6 widened the LSTM: weight_ih becomes [768, 128].
+    drifted["decoder.rnn.weight_ih"] = (768, 128)
+    bad_params["decoder.rnn.weight_ih"] = np.zeros((768, 128), np.float32)
+    path = tmp_path / "ggml-silero-v6.9.9.bin"
+    _write_v620_style(str(path), bad_params, drifted, f16=False)
+    with pytest.raises(ValueError, match="missing tensors"):
+        load_silero_ggml(str(path))
+
+
 def test_adapter(params):
     vad = SileroVad(params)
     assert vad.frame_ms == 32.0
