@@ -2,11 +2,18 @@
 
 Measures the full pipeline (log-mel → encoder → KV-cached greedy decode of
 128 tokens/window, the realistic token budget for dense speech) on one TPU
-chip, batch of 8 × 30 s windows, steady state. Prints ONE JSON line.
+chip, batch of B × 30 s windows, steady state. Prints ONE JSON line.
 
 Baseline: the reference publishes no numbers (BASELINE.md); the north-star
 target is ≥60× real-time per chip on large-v3, so ``vs_baseline`` is
 RTFx / 60.
+
+``BENCH_MODE=streaming`` instead measures the BASELINE.md streaming metric:
+p50 per-tick partial latency for a StreamingSession fed 500 ms chunks (the
+reference's cadence, /root/reference/src/grpc_server.cpp:222), reporting
+p50 with p95 / first-partial embedded in the metric name's companion doc
+(docs/PERF.md "Serving latency knobs"). ``vs_baseline`` is p50 relative to
+the 500 ms real-time tick budget (value/0.5: <1 keeps up with real time).
 """
 
 from __future__ import annotations
@@ -17,6 +24,61 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def main_streaming():
+    """p50 first-token/partial latency over a simulated real-time stream."""
+    import os
+
+    from sentiric_stt_whisper_service_tpu.config import Settings
+    from sentiric_stt_whisper_service_tpu.runtime.engine import (
+        RequestOptions,
+        SttEngine,
+    )
+    from sentiric_stt_whisper_service_tpu.runtime.streaming import (
+        StreamingSession,
+    )
+
+    model_name = os.environ.get("BENCH_MODEL", "large-v3")
+    seconds = float(os.environ.get("BENCH_SECONDS", "12"))
+    incremental = os.environ.get("BENCH_INCREMENTAL", "1") == "1"
+
+    s = Settings(
+        enable_vad=False, beam_size=1, best_of=1, parallel_requests=1,
+        compute_type=os.environ.get("BENCH_COMPUTE", "int8"),
+        audio_ctx=int(os.environ.get("STT_WHISPER_SERVICE_AUDIO_CTX", "0")),
+    )
+    eng = SttEngine(s, model_name=model_name, random_init=True)
+    eng.warmup()
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(seconds * 16000)) * 3276).astype(np.int16)
+    chunk = s.stream_buffer_samples  # 500 ms cadence
+
+    sess = StreamingSession(eng, RequestOptions(language="en"),
+                            incremental=incremental)
+    tick_lat = []
+    for i in range(0, len(audio), chunk):
+        t0 = time.perf_counter()
+        sess.feed(audio[i : i + chunk].tobytes())
+        dt = time.perf_counter() - t0
+        if dt > 1e-4:  # a decode tick actually ran
+            tick_lat.append(dt)
+    sess.feed(b"")  # EOS
+
+    lat = np.asarray(sorted(tick_lat))
+    p50 = float(np.percentile(lat, 50)) if lat.size else float("nan")
+    mode = "inc" if incremental else "ref"
+    print(
+        json.dumps(
+            {
+                "metric": f"stream_p50_tick_latency_{model_name}_{mode}",
+                "value": round(p50, 4),
+                "unit": "s",
+                "vs_baseline": round(p50 / 0.5, 3),
+            }
+        )
+    )
 
 
 def main():
@@ -113,4 +175,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os as _os
+
+    if _os.environ.get("BENCH_MODE", "offline") == "streaming":
+        main_streaming()
+    else:
+        main()

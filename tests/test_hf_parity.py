@@ -133,3 +133,91 @@ def test_stepwise_decode_matches_hf(hf_model, mapped, rng):
     got = np.stack(got)
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_greedy_decode_loop_token_exact_vs_hf(hf_model, mapped, rng):
+    """Token-exact greedy DECODE LOOP equivalence (BASELINE.md WER-parity
+    proxy for zero-egress CI): our fully-on-device ``decode_window`` (static
+    suppression + begin-suppression + whisper timestamp rules + argmax,
+    sampling.py) against an independent torch greedy loop driven by HF's
+    own logits processors (SuppressTokens / SuppressTokensAtBegin /
+    WhisperTimeStamp — transformers' port of openai-whisper's rules, the
+    same semantics whisper.cpp implements for the reference at
+    /root/reference/src/stt_engine.cpp:245). Every sampled token must
+    match, with rule-feedback through the autoregressive loop."""
+    from transformers import GenerationConfig
+    from transformers.generation.logits_process import (
+        SuppressTokensAtBeginLogitsProcessor,
+        SuppressTokensLogitsProcessor,
+        WhisperTimeStampLogitsProcessor,
+    )
+
+    from sentiric_stt_whisper_service_tpu.models import (
+        TokenIds,
+        build_suppress_mask,
+        decode_window,
+        encode_xa_kv,
+    )
+    from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
+
+    cfg, params = mapped
+    tok = fallback_tokenizer(cfg.n_vocab)
+    ids = TokenIds.from_tokenizer(tok)
+    sup_np = build_suppress_mask(cfg.n_vocab, ids, tok.non_speech_tokens)
+    suppress_list = np.where(np.isneginf(sup_np))[0].tolist()
+
+    audio = (rng.standard_normal(480000) * 0.1).astype(np.float32)
+    mel = np.asarray(log_mel_spectrogram(audio))
+    sot = list(tok.sot_sequence("en"))
+    sample_begin = len(sot)
+    max_new = 24  # random weights rarely emit EOT; bound the loop
+
+    # --- ours: one jitted decode_window, greedy (temperature 0) ---
+    tinit = np.full((1, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[0, :sample_begin] = sot
+    xa_kv = encode_xa_kv(cfg, params, jnp.asarray(mel[None]))
+    res = decode_window(
+        cfg, params, xa_kv, jnp.asarray(tinit), sample_begin, 0, ids,
+        jnp.asarray(sup_np), jnp.float32(0.0), jax.random.key(0),
+        max_len=sample_begin + max_new,
+    )
+    end = int(res.lengths[0])  # includes EOT if emitted
+    ours = [int(t) for t in np.asarray(res.tokens)[0][sample_begin:end]]
+    if ours and ours[-1] == ids.eot:
+        ours = ours[:-1]
+
+    # --- theirs: torch greedy loop + HF logits processors ---
+    gen_cfg = GenerationConfig(
+        eos_token_id=ids.eot,
+        no_timestamps_token_id=ids.no_timestamps,
+        max_initial_timestamp_index=ids.max_initial_timestamp_index,
+    )
+    blank = tok.encode(" ")[0]
+    procs = [
+        SuppressTokensLogitsProcessor(suppress_list),
+        SuppressTokensAtBeginLogitsProcessor([blank, ids.eot], sample_begin),
+        WhisperTimeStampLogitsProcessor(gen_cfg, begin_index=sample_begin),
+    ]
+    seq = list(sot)
+    theirs = []
+    with torch.no_grad():
+        enc = hf_model.model.encoder(
+            torch.from_numpy(mel.T[None]).float()
+        ).last_hidden_state
+        for _ in range(max_new):
+            dec_in = torch.tensor([seq])
+            logits = hf_model(
+                encoder_outputs=(enc,), decoder_input_ids=dec_in
+            ).logits[:, -1].float()
+            for p in procs:
+                logits = p(dec_in, logits)
+            nxt = int(logits.argmax(-1))
+            if nxt == ids.eot:
+                break
+            theirs.append(nxt)
+            seq.append(nxt)
+
+    # EOT and blank are begin-suppressed, so a correct loop emits ≥1 token —
+    # guards against a trivially-empty comparison.
+    assert ours
+    assert ours == theirs
