@@ -137,11 +137,12 @@ def _decode_window_beam_impl(
 
     V = cfg.n_vocab
 
+    start_row = jnp.zeros((V,)).at[ids.blank].set(NEG_INF).at[ids.eot].set(NEG_INF)
+
     def process_logits(logits, tokens, pos):
-        logits = logits + suppress_mask[None, :]
         at_start = pos == sample_begin
-        start_mask = jnp.zeros((V,)).at[ids.blank].set(NEG_INF).at[ids.eot].set(NEG_INF)
-        logits = jnp.where(at_start, logits + start_mask[None, :], logits)
+        # One fused [BK, V] add: static suppression + start-of-sample row.
+        logits = logits + (suppress_mask + jnp.where(at_start, start_row, 0.0))[None, :]
         if use_timestamps:
             logits = apply_timestamp_rules(logits, tokens, pos, sample_begin, ids)
         return logits
@@ -152,10 +153,12 @@ def _decode_window_beam_impl(
         tokens, kv, anc, pos, done, sum_lp, tok_lps, last_logits = state
         # done: [BK] — beam finished (emitted EOT earlier).
         logits = process_logits(last_logits, tokens, pos)  # [BK, V]
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
 
-        # Top-K continuations per beam.
-        top_lp, top_tok = jax.lax.top_k(logprobs, K)  # [BK, K]
+        # Top-K continuations per beam. top_k runs on the RAW logits (same
+        # order); the shift to logprobs happens on the [BK, K] result —
+        # avoids materializing a [BK, V] log_softmax every step.
+        top_val, top_tok = jax.lax.top_k(logits, K)  # [BK, K]
+        top_lp = top_val - jax.nn.logsumexp(logits, axis=-1)[:, None]
         # Finished beams: single EOT candidate with score unchanged.
         top_lp = jnp.where(done[:, None], NEG_INF, top_lp)
         top_lp = top_lp.at[:, 0].set(jnp.where(done, 0.0, top_lp[:, 0]))

@@ -165,12 +165,14 @@ def apply_timestamp_rules(
     logits = jnp.where(at_start & (init_text_mask | init_cap), NEG_INF, logits)
 
     # If total timestamp probability beats the best text token, force a
-    # timestamp sample.
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    ts_logprob = jax.nn.logsumexp(
-        jnp.where(is_ts_col, logprobs, NEG_INF), axis=-1
-    )
-    max_text = jnp.max(jnp.where(is_ts_col, NEG_INF, logprobs), axis=-1)
+    # timestamp sample. The softmax normalizer cancels on both sides of
+    # the comparison (logsumexp(logprobs_ts) > max(logprobs_text) ⟺
+    # logsumexp(logits_ts) > max(logits_text)), and the timestamp tokens
+    # are a contiguous static suffix — so this costs two slice reductions
+    # instead of materializing a [B, V] log_softmax (measured ~0.5 ms/step
+    # at B=56, tools/bench_step_parts.py).
+    ts_logprob = jax.nn.logsumexp(logits[:, ids.timestamp_begin :], axis=-1)
+    max_text = jnp.max(logits[:, : ids.timestamp_begin], axis=-1)
     force2 = ts_logprob > max_text
     logits = jnp.where(force2[:, None] & ~is_ts_col, NEG_INF, logits)
     return logits
@@ -335,22 +337,35 @@ def _decode_window_impl(
     probs_at_sot = jax.nn.softmax(prefill_logits[:, sot_index], axis=-1)
     no_speech_probs = probs_at_sot[:, ids.no_speech]
 
+    # Start-of-sample suppression as one precomputed [V] row (building a
+    # [B, V] zeros-like + scatter every step costs two full-array passes).
+    vocab_idx = jnp.arange(cfg.n_vocab)
+    start_row = jnp.where(
+        (vocab_idx == ids.blank) | (vocab_idx == ids.eot), NEG_INF, 0.0
+    )
+
     def process_logits(logits, tokens, pos):
-        logits = logits + suppress_mask[None, :]
         # Suppress blank + EOT as the very first sample.
         at_start = pos == sample_begin
-        blank_mask = jnp.zeros_like(logits).at[:, ids.blank].set(NEG_INF)
-        blank_mask = blank_mask.at[:, ids.eot].set(NEG_INF)
-        logits = jnp.where(at_start, logits + blank_mask, logits)
+        logits = logits + (suppress_mask + jnp.where(at_start, start_row, 0.0))[None, :]
         if use_timestamps:
             logits = apply_timestamp_rules(logits, tokens, pos, sample_begin, ids)
         return logits
 
     def sample(logits, key):
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        temp = jnp.maximum(temperature, 1e-6)
-        sampled = jax.random.categorical(key, logits / temp, axis=-1).astype(jnp.int32)
-        return jnp.where(temperature <= 0.0, greedy, sampled)
+        # lax.cond so the greedy rung of the temperature ladder never pays
+        # the categorical's gumbel pass over [B, V] (temperature is traced;
+        # both branches compile, one executes).
+        def _greedy(_):
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        def _sampled(k):
+            temp = jnp.maximum(temperature, 1e-6)
+            return jax.random.categorical(k, logits / temp, axis=-1).astype(
+                jnp.int32
+            )
+
+        return jax.lax.cond(temperature <= 0.0, _greedy, _sampled, key)
 
     # --- first sampled token from the prefill's last logits ---
     def step_fn(state):
@@ -358,8 +373,12 @@ def _decode_window_impl(
         logits = process_logits(last_logits, tokens, pos)
         key, sub = jax.random.split(key)
         next_tok = sample(logits, sub)
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=-1)[:, 0]
+        # logprob of the chosen token = logit - logsumexp: one reduction,
+        # no [B, V] log_softmax materialization.
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tok_lp = (
+            jnp.take_along_axis(logits, next_tok[:, None], axis=-1)[:, 0] - lse
+        )
         next_tok = jnp.where(done, ids.eot, next_tok)
         tok_lp = jnp.where(done, 0.0, tok_lp)
         sum_lp = sum_lp + tok_lp
