@@ -59,12 +59,15 @@ def decode_window_beam(
     max_len: Optional[int] = None,
     use_timestamps: bool = True,
     prefill_len: Optional[int] = None,
+    self_dtype=None,
 ) -> DecodeResult:
     """Beam-search decode; returns the best hypothesis per batch item with
     the same DecodeResult contract as greedy ``decode_window``.
 
     Prompt lengths are bucketed like ``decode_window``: ``sample_begin`` /
-    ``sot_index`` trace, ``prefill_len`` is the static shape class."""
+    ``sot_index`` trace, ``prefill_len`` is the static shape class.
+    ``self_dtype`` overrides the self-KV-slab storage dtype (fp8 policy,
+    see init_kv_cache)."""
     if prefill_len is None:
         prefill_len = prompt_bucket(int(sample_begin))
     max_len = max_len or cfg.n_text_ctx
@@ -72,6 +75,7 @@ def decode_window_beam(
         cfg, params, xa_kv, tokens_init,
         jnp.asarray(sample_begin, jnp.int32), jnp.asarray(sot_index, jnp.int32),
         ids, suppress_mask, beam_size, max_len, use_timestamps, prefill_len,
+        self_dtype,
     )
 
 
@@ -79,6 +83,7 @@ def decode_window_beam(
     jax.jit,
     static_argnames=(
         "cfg", "ids", "beam_size", "max_len", "use_timestamps", "prefill_len",
+        "self_dtype",
     ),
 )
 def _decode_window_beam_impl(
@@ -94,6 +99,7 @@ def _decode_window_beam_impl(
     max_len: int,
     use_timestamps: bool,
     prefill_len: int,
+    self_dtype=None,
 ) -> DecodeResult:
     from ..ops.quant import unpack_xa_kv
 
@@ -111,7 +117,7 @@ def _decode_window_beam_impl(
     # mask points every beam at slot 0 for prompt positions, so the prefix is
     # never tiled. The cross slab stays untiled forever — decoder_step_beam
     # shares it across beams (docs/PERF.md beam-path redesign).
-    kv_b = init_kv_cache(cfg, B, cache_len, paired=pairing_ok(cfg))
+    kv_b = init_kv_cache(cfg, B, cache_len, paired=pairing_ok(cfg), dtype=self_dtype)
     prefill_logits, kv_b, _ = decoder_apply(
         cfg, params, tokens_init[:, :prefill_len], jnp.int32(0), kv_b, xa_kv
     )

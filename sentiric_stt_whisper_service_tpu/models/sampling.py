@@ -232,7 +232,7 @@ def detect_language(
 def decode_window_best_of(
     cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
     suppress_mask, temperature, rng, best_of: int = 5, max_len=None,
-    use_timestamps: bool = True, prefill_len=None,
+    use_timestamps: bool = True, prefill_len=None, self_dtype=None,
 ) -> "DecodeResult":
     """best_of independent samples per item (temperature > 0), winner by avg
     logprob — openai-whisper's n_group sampling, batched as [B*G]."""
@@ -246,6 +246,7 @@ def decode_window_best_of(
         cfg, params, xa_kv_g, tiled, sample_begin, sot_index, ids,
         suppress_mask, temperature, rng, max_len=max_len,
         use_timestamps=use_timestamps, prefill_len=prefill_len,
+        self_dtype=self_dtype,
     )
     best = jnp.argmax(res.avg_logprobs.reshape(B, G), axis=1)
     sel = jnp.arange(B) * G + best
@@ -273,6 +274,7 @@ def decode_window(
     max_len: Optional[int] = None,
     use_timestamps: bool = True,
     prefill_len: Optional[int] = None,
+    self_dtype=None,
 ) -> DecodeResult:
     """Decode one batch of 30 s windows to EOT, fully on device.
 
@@ -281,7 +283,11 @@ def decode_window(
     length. ``prefill_len`` is the static bucket (default: the prompt
     bucket of ``sample_begin``); positions in [sample_begin, prefill_len)
     hold EOT padding whose K/V entries are never attended — each decode
-    step overwrites its cache slot before reading it."""
+    step overwrites its cache slot before reading it.
+
+    ``self_dtype`` overrides the self-KV-cache storage dtype (e.g.
+    ``jnp.float8_e4m3fn`` — engine ``self_cache`` policy; see
+    init_kv_cache)."""
     if prefill_len is None:
         prefill_len = prompt_bucket(int(sample_begin))
     max_len = max_len or cfg.n_text_ctx
@@ -289,13 +295,15 @@ def decode_window(
         cfg, params, xa_kv, tokens_init,
         jnp.asarray(sample_begin, jnp.int32), jnp.asarray(sot_index, jnp.int32),
         ids, suppress_mask, temperature, rng, max_len, use_timestamps,
-        prefill_len,
+        prefill_len, self_dtype,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "ids", "max_len", "use_timestamps", "prefill_len"),
+    static_argnames=(
+        "cfg", "ids", "max_len", "use_timestamps", "prefill_len", "self_dtype",
+    ),
 )
 def _decode_window_impl(
     cfg: WhisperConfig,
@@ -311,6 +319,7 @@ def _decode_window_impl(
     max_len: int,
     use_timestamps: bool,
     prefill_len: int,
+    self_dtype=None,
 ) -> DecodeResult:
     from ..ops.quant import unpack_xa_kv
 
@@ -328,7 +337,7 @@ def _decode_window_impl(
     # and bounds the shape-class count)
     # Head-paired slab: full 128-lane rows, 2x effective read bandwidth
     # (init_kv_cache; tools/bench_self_layout.py).
-    kv = init_kv_cache(cfg, B, cache_len, paired=pairing_ok(cfg))
+    kv = init_kv_cache(cfg, B, cache_len, paired=pairing_ok(cfg), dtype=self_dtype)
 
     # --- prefill the prompt (bucketed static length; tail is EOT pad) ---
     prefill_logits, kv, _ = decoder_apply(

@@ -387,6 +387,7 @@ def init_kv_cache(
     batch: int,
     cache_len: Optional[int] = None,
     paired: bool = False,
+    dtype: Optional[jnp.dtype] = None,
 ) -> dict:
     """Static self-attention KV slab, position-major.
 
@@ -406,7 +407,16 @@ def init_kv_cache(
     reads fill every lane (678 GB/s nominal — 2× faster, exact numerics
     via zero-padded M=2 queries, see ``decoder_step``). Used by the greedy
     decode path; the beam kernel and the batcher's ring cache keep the
-    unpaired form."""
+    unpaired form.
+
+    ``dtype`` overrides the storage dtype (default ``cfg.dtype``).
+    ``float8_e4m3fn`` halves the slab's HBM stream again (measured
+    1.87 vs 2.64 ms/step at B=56, tools/bench_selfcache_dtype.py);
+    values convert to the compute dtype inside the score/AV
+    contractions, so nothing else changes. Scale-free storage: K/V
+    activations fit e4m3's ±448 range with ~0.4% rms rounding — the
+    same error class as the int8 cross slab, so the quantized compute
+    types opt in (engine ``self_cache`` policy)."""
     hd = cfg.n_text_state // cfg.n_text_head
     if paired and cfg.n_text_head % 2 == 0:
         shape = (
@@ -424,7 +434,8 @@ def init_kv_cache(
             cache_len or cfg.n_text_ctx,
             hd,
         )
-    return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+    dt = cfg.dtype if dtype is None else dtype
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
 
 def _is_paired_cache(kv_cache: dict, hd: int) -> bool:
@@ -513,7 +524,13 @@ def _attend(q, k, v, mask=None):
 
     Contractions are expressed so no operand needs a layout transpose:
     scores contract c (minor dim of both q and k), values contract K.
+    A float8 KV slab (init_kv_cache dtype) converts to the compute dtype
+    here — XLA fuses the convert into the contraction's read pipeline.
     """
+    if k.dtype != q.dtype:
+        k = k.astype(q.dtype)
+    if v.dtype != q.dtype:
+        v = v.astype(q.dtype)
     scores = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
@@ -705,15 +722,16 @@ def decoder_apply(
                 ],
                 axis=2,
             )  # [B,Hp,2,T,2hd]
+            cdt = hx.dtype  # compute dtype (f8 slabs convert on read)
             scores = jax.lax.dot_general(
-                (q5 * (scale * scale)).astype(k_cache.dtype), k_cache,
+                (q5 * (scale * scale)).astype(cdt), k_cache.astype(cdt),
                 dimension_numbers=(((4,), (3,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32,
             )  # [B,Hp,2,T,C]
             scores = jnp.where(self_mask[:, :, None], scores, jnp.float32(-1e30))
-            aw = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+            aw = jax.nn.softmax(scores, axis=-1).astype(cdt)
             out5 = jax.lax.dot_general(
-                aw, v_cache,
+                aw, v_cache.astype(cdt),
                 dimension_numbers=(((4,), (2,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32,
             ).astype(hx.dtype)  # [B,Hp,2,T,2hd]

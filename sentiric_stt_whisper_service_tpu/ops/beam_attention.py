@@ -49,6 +49,10 @@ def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
     dt = k_ref.dtype
     # bf16 operands / fp32 accumulation — the same numerics as the XLA
     # path (_attend scales q in bf16 and casts softmax weights back).
+    # A float8 slab converts to bf16 at the VMEM read; MXU operands are
+    # never narrower than bf16.
+    if dt in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        dt = jnp.bfloat16
     q = (q_ref[0].astype(jnp.float32) * jnp.float32(scale)).astype(dt)
     Hb, _, hd = q.shape
     m = jnp.full((Hb, R, 1), NEG, jnp.float32)
@@ -56,7 +60,7 @@ def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
     acc = jnp.zeros((Hb, R, hd), jnp.float32)
     for s in range(K):  # online softmax over source slots
         scores = jax.lax.dot_general(
-            q, k_ref[s],  # [Hb, R, hd] x [Hb, C, hd]
+            q, k_ref[s].astype(dt),  # [Hb, R, hd] x [Hb, C, hd]
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hb, R, C]
@@ -69,7 +73,7 @@ def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
         p = jnp.exp(scores - m_new)  # masked cols: exp(NEG - m) == 0
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(dt), v_ref[s],  # [Hb, R, C] x [Hb, C, hd]
+            p.astype(dt), v_ref[s].astype(dt),  # [Hb, R, C] x [Hb, C, hd]
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hb, R, hd]

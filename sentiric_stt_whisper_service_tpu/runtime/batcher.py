@@ -104,6 +104,7 @@ class ContinuousBatcher:
         quantize_kv: bool = False,
         kv_bits: Optional[int] = None,
         xa_ctx: Optional[int] = None,
+        self_dtype=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -121,6 +122,9 @@ class ContinuousBatcher:
             kv_bits = 8 if quantize_kv else 0
         self.kv_bits = kv_bits
         self.quantize_kv = kv_bits > 0
+        # Self-KV ring-slab storage dtype (engine self_cache policy;
+        # float8_e4m3fn halves the per-step self read — init_kv_cache).
+        self.self_dtype = self_dtype
         # Cross-attention context width (audio_ctx bucket). Engine keeps
         # one batcher pool per bucket so cropped windows batch too.
         self.xa_ctx = xa_ctx or cfg.n_audio_ctx
@@ -164,7 +168,10 @@ class ContinuousBatcher:
             sum_lp=jnp.zeros((S,), jnp.float32),
             tok_lps=jnp.zeros((S, cfg.n_text_ctx), jnp.float32),
             no_speech=jnp.zeros((S,), jnp.float32),
-            kv=init_kv_cache(cfg, S, self.cache_len, paired=pairing_ok(cfg)),
+            kv=init_kv_cache(
+                cfg, S, self.cache_len, paired=pairing_ok(cfg),
+                dtype=self.self_dtype,
+            ),
             xa_kv=xa_zero,
             last_logits=jnp.zeros((S, cfg.n_vocab), jnp.float32),
             ring_row=jnp.int32(0),
@@ -433,7 +440,10 @@ def _insert_slots_op(
         }
     N = prompts.shape[0]
 
-    kvN = init_kv_cache(cfg, N, cache_len, paired=pairing_ok(cfg))
+    kvN = init_kv_cache(
+        cfg, N, cache_len, paired=pairing_ok(cfg),
+        dtype=state.kv["k"].dtype,  # match the ring slab (f8 policy)
+    )
     logits, kvN, _ = decoder_apply(
         cfg, params, prompts, jnp.int32(0), kvN, xa_new
     )

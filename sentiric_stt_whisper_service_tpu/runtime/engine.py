@@ -173,6 +173,17 @@ class SttEngine:
         ct = settings.compute_type.strip().lower()
         self.quantized = ct.startswith(("int8", "int4"))
         self.xa_bits = 4 if ct.startswith("int4") else (8 if self.quantized else 0)
+        # Self-KV-cache storage dtype (init_kv_cache). Policy: float8 rides
+        # along with the quantized compute types (its ~0.4% rms rounding is
+        # the same error class as their int8 cross slab); full-precision
+        # modes keep bf16. SELF_CACHE=f8|bf16 overrides.
+        sc = getattr(settings, "self_cache", "auto").strip().lower()
+        if sc in ("f8", "fp8", "float8", "float8_e4m3fn", "e4m3"):
+            self.self_dtype = jnp.float8_e4m3fn
+        elif sc in ("bf16", "bfloat16", "off", "none"):
+            self.self_dtype = None
+        else:  # auto
+            self.self_dtype = jnp.float8_e4m3fn if self.quantized else None
         if self.quantized:
             from ..ops.quant import is_quantized, quantize_params
 
@@ -222,6 +233,7 @@ class SttEngine:
                     cache_len=256,
                     kv_bits=self.xa_bits,
                     xa_ctx=xa_ctx,
+                    self_dtype=self.self_dtype,
                 )
             return self._batchers[xa_ctx]
 
@@ -497,18 +509,20 @@ class SttEngine:
                 self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
                 self.ids, self.suppress_mask, beam_size=beam_size,
                 max_len=max_len, prefill_len=prefill_len,
+                self_dtype=self.self_dtype,
             )
         if temperature > 0.0 and best_of > 1:
             return decode_window_best_of(
                 self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
                 self.ids, self.suppress_mask, jnp.float32(temperature),
                 self._next_rng(), best_of=best_of, max_len=max_len,
-                prefill_len=prefill_len,
+                prefill_len=prefill_len, self_dtype=self.self_dtype,
             )
         return decode_window(
             self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
             self.ids, self.suppress_mask, jnp.float32(temperature),
             self._next_rng(), max_len=max_len, prefill_len=prefill_len,
+            self_dtype=self.self_dtype,
         )
 
     def _transcribe_longform(
@@ -786,13 +800,14 @@ class SttEngine:
                         cfg, self.params, xa_kv, tinit, sample_begin, 0, ids,
                         self.suppress_mask, beam_size=beam_size,
                         max_len=max_len, prefill_len=prefill_len,
+                        self_dtype=self.self_dtype,
                     )
                 else:
                     res = decode_window(
                         cfg, self.params, xa_kv, tinit, sample_begin, 0, ids,
                         self.suppress_mask, jnp.float32(max(t, 0.0)),
                         self._next_rng(), max_len=max_len,
-                        prefill_len=prefill_len,
+                        prefill_len=prefill_len, self_dtype=self.self_dtype,
                     )
                 toks_np = np.asarray(res.tokens)
                 lens_np = np.asarray(res.lengths)

@@ -43,8 +43,7 @@ def loop(n_steps, k_slab, v_slab, q2, new_row):
     def body(state):
         i, k_all, v_all, acc = state
         pos = jnp.int32(64) + (i % 32)
-        kpos = jnp.arange(C)[None, :]
-        mask = (kpos <= pos)[None, :, None][:, None]  # [1,1,1,C]
+        mask = (jnp.arange(C) <= pos)[None, None, None, :]  # [1,1,1,C]
         out_sum = acc
         for li in range(L):
             k_l = k_all[li]

@@ -77,8 +77,7 @@ def step_variant(cfg, params, ids, sup, tokens, pos, kv_cache, xa_kv, *,
     x = x[:, None, :].astype(cfg.dtype)
 
     cache_len = kv_cache["k"].shape[3]
-    kpos = jnp.arange(cache_len)[None, :]
-    self_mask = (kpos <= pos)[None, :, None][:, None]  # [1,1,1,C] shared pos
+    self_mask = (jnp.arange(cache_len) <= pos)[None, None, None, :]  # [1,1,1,C]
 
     def write_slot(cache_all, new, li):
         if no_write:
