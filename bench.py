@@ -118,6 +118,15 @@ def main():
         encode_xa_kv = (  # noqa: F811 — quantized KV variant
             lambda cfg, p, mel: encode_xa_kv_q(cfg, p, mel, kv_bits)
         )
+    # Self-KV-cache storage: mirror the engine's auto policy (f8 slab for
+    # the quantized compute types; BENCH_SELF_CACHE=bf16|f8 overrides).
+    sc = os.environ.get("BENCH_SELF_CACHE", "auto").lower()
+    if sc in ("f8", "fp8", "float8") or (
+        sc == "auto" and compute.startswith(("int8", "int4"))
+    ):
+        self_dtype = jnp.float8_e4m3fn
+    else:
+        self_dtype = None
     tok = fallback_tokenizer(cfg.n_vocab)
     ids = TokenIds.from_tokenizer(tok)
     sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, tok.non_speech_tokens))
@@ -147,6 +156,7 @@ def main():
         return decode_window(
             cfg, p, xa_kv, tinit, len(sot), 0, ids, sup,
             jnp.float32(0.0), jax.random.key(1), max_len=max_len,
+            self_dtype=self_dtype,
         )
 
     # Warmup: compile + 2 steady-state rounds (the first post-compile
