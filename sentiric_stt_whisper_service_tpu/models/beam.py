@@ -60,6 +60,7 @@ def decode_window_beam(
     use_timestamps: bool = True,
     prefill_len: Optional[int] = None,
     self_dtype=None,
+    cache_buckets: bool = True,
 ) -> DecodeResult:
     """Beam-search decode; returns the best hypothesis per batch item with
     the same DecodeResult contract as greedy ``decode_window``.
@@ -71,11 +72,19 @@ def decode_window_beam(
     if prefill_len is None:
         prefill_len = prompt_bucket(int(sample_begin))
     max_len = max_len or cfg.n_text_ctx
+    from .whisper import _use_flash as _flash
+
+    if self_dtype is not None and _flash():
+        # A float8 self slab REGRESSES the fused beam kernel ~2× (232.9 →
+        # 125.1 RTFx at B=8 int8: the in-kernel f8→bf16 convert runs per
+        # source slot) — unlike the greedy path, where f8 storage wins.
+        # Beam keeps bf16 self storage whatever the engine's auto policy.
+        self_dtype = None
     return _decode_window_beam_impl(
         cfg, params, xa_kv, tokens_init,
         jnp.asarray(sample_begin, jnp.int32), jnp.asarray(sot_index, jnp.int32),
         ids, suppress_mask, beam_size, max_len, use_timestamps, prefill_len,
-        self_dtype,
+        self_dtype, cache_buckets,
     )
 
 
@@ -83,7 +92,7 @@ def decode_window_beam(
     jax.jit,
     static_argnames=(
         "cfg", "ids", "beam_size", "max_len", "use_timestamps", "prefill_len",
-        "self_dtype",
+        "self_dtype", "cache_buckets",
     ),
 )
 def _decode_window_beam_impl(
@@ -100,6 +109,7 @@ def _decode_window_beam_impl(
     use_timestamps: bool,
     prefill_len: int,
     self_dtype=None,
+    cache_buckets: bool = True,
 ) -> DecodeResult:
     from ..ops.quant import unpack_xa_kv
 
@@ -210,9 +220,31 @@ def _decode_window_beam_impl(
         )
         done = done | (next_tok == ids.eot)
 
-        step_logits, kv = decoder_step_beam(
-            cfg, params, next_tok, pos, kv, xa_kv, anc, K
-        )
+        # Every step streams the whole [.., cache_len, ..] self slab; a
+        # step at position p only needs rows ≤ p. Switch between 128-row
+        # read buckets (static BlockSpec windows in the fused kernel —
+        # exact numerics, rows ≥ p are ancestry-masked) so early steps
+        # don't pay for the full slab.
+        from .whisper import _use_flash
+
+        buckets = list(range(128, cache_len, 128)) + [cache_len]
+        if cache_buckets and _use_flash() and len(buckets) > 1:
+            def mk_branch(cb):
+                def branch(tok_, pos_, kv_, anc_):
+                    return decoder_step_beam(
+                        cfg, params, tok_, pos_, kv_, xa_kv, anc_, K,
+                        c_valid=cb,
+                    )
+                return branch
+
+            idx = jnp.sum(pos >= jnp.asarray(buckets[:-1]))
+            step_logits, kv = jax.lax.switch(
+                idx, [mk_branch(cb) for cb in buckets], next_tok, pos, kv, anc
+            )
+        else:
+            step_logits, kv = decoder_step_beam(
+                cfg, params, next_tok, pos, kv, xa_kv, anc, K
+            )
         return tokens, kv, anc, pos + 1, done, sum_lp, tok_lps, step_logits
 
     def cond_fn(state):

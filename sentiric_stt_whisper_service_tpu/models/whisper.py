@@ -87,7 +87,24 @@ _PRESETS = {
 
 def config_for(name: str, dtype=jnp.bfloat16) -> WhisperConfig:
     """Config by model name: tiny(.en), base(.en), small(.en), medium(.en),
-    large-v1/v2/v3, large-v3-turbo, plus 'test' (a mini model for CI)."""
+    large-v1/v2/v3, large-v3-turbo, the distil-whisper family
+    (distil-large-v2/v3, distil-medium.en, distil-small.en — full-size
+    encoder, shallow decoder), plus 'test' (a mini model for CI)."""
+    if name.startswith("distil-"):
+        base_name = name[len("distil-"):]
+        english = base_name.endswith(".en")
+        if english:
+            base_name = base_name[:-3]
+        if base_name.startswith("large"):
+            dims = dict(_PRESETS["large"])
+            n_mels = 128 if base_name == "large-v3" else 80
+            n_vocab = 51866 if base_name == "large-v3" else 51865
+        else:
+            dims = dict(_PRESETS[base_name])
+            n_mels, n_vocab = 80, 51864 if english else 51865
+        # distil-small.en keeps 4 decoder layers; the rest distil to 2.
+        dims["n_text_layer"] = 4 if base_name == "small" else 2
+        return WhisperConfig(n_mels=n_mels, n_vocab=n_vocab, dtype=dtype, **dims)
     if name == "test":
         return WhisperConfig(
             n_mels=80, n_vocab=51865, n_audio_ctx=1500,
@@ -927,6 +944,9 @@ def decoder_step_beam(
     anc_mask: jnp.ndarray,  # [B, K, K, C] bool: anc[b,kd,ks,c] = beam kd
     #   reads position c from physical slot ks (exactly one ks per valid c)
     beam_size: int,
+    c_valid: int = 0,  # static: bound the self-cache rows the fused kernel
+    #   reads (exact while pos < c_valid; models/beam.py lax.switches over
+    #   128-row buckets as the decode deepens). 0 = full cache axis.
 ):
     """Beam-search decode step with no KV reordering (docs/PERF.md).
 
@@ -1007,10 +1027,15 @@ def decoder_step_beam(
         # On TPU: the fused Pallas kernel keeps the [B,H,Kd,Ks,C] score
         # chain in VMEM (15.1 → 6.1 ms/step over the 32-layer stack,
         # tools/bench_beam_attn.py); elsewhere the XLA twin.
-        attend = beam_attn if _use_flash() else beam_attn_ref
-        sa = attend(
-            heads1(qp), k_cache, v_cache, anc_mask, K, scale=scale * scale
-        )  # [S, H, hd]
+        if _use_flash():
+            sa = beam_attn(
+                heads1(qp), k_cache, v_cache, anc_mask, K,
+                scale=scale * scale, c_valid=c_valid,
+            )  # [S, H, hd]
+        else:
+            sa = beam_attn_ref(
+                heads1(qp), k_cache, v_cache, anc_mask, K, scale=scale * scale
+            )
         sa = sa.reshape(S, 1, d)
         hx = hx + dense(sa.astype(hx.dtype), layer["attn"]["o"])
 
@@ -1018,6 +1043,11 @@ def decoder_step_beam(
         y = layer_norm(hx, layer["cross_attn_ln"])
         q = dense(y, layer["cross_attn"]["q"]).reshape(B, K, h, hd)
         q = q.transpose(0, 2, 1, 3)  # [B,H,K,hd]
+        # XLA beats a fused Pallas kernel here (ops/beam_attention.
+        # beam_cross_attention: 22.5 ms vs 0.63 ms per layer-call at
+        # B=24 K=5 int8, tools/bench_beam_cross.py) — Mosaic lowers the
+        # per-head batched dots serially, the same failure mode as
+        # ops/decode_attention.decode_attention_i4.
         ca, _ = _attend_xa(q, xa, scale)
         ca = ca.transpose(0, 2, 1, 3).reshape(S, 1, d)
         hx = hx + dense(ca.astype(hx.dtype), layer["cross_attn"]["o"])

@@ -83,7 +83,7 @@ def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("beam_size", "scale", "interpret")
+    jax.jit, static_argnames=("beam_size", "scale", "interpret", "c_valid")
 )
 def beam_attention(
     q: jnp.ndarray,  # [B*K, H, hd]
@@ -93,17 +93,30 @@ def beam_attention(
     beam_size: int,
     scale: float = 1.0,  # score scale (applied to q, so hd**-0.5 total)
     interpret: bool = False,
+    c_valid: int = 0,  # 0 = read the full cache axis
 ) -> jnp.ndarray:
     """Fused ancestry-masked beam attention. Returns [B*K, H, hd].
 
     ``q`` is always per-head [B*K, H, hd]. ``k``/``v`` may be head-PAIRED
     [B*K, H/2, C, 2·hd] (models/whisper.init_kv_cache paired=True): full
     128-lane rows, so the slab DMA moves half the bytes of the unpaired
-    hd=64 layout (whose minor dim is physically padded to 128)."""
+    hd=64 layout (whose minor dim is physically padded to 128).
+
+    ``c_valid`` bounds the cache rows the kernel DMAs: every step streams
+    the whole [.., C, ..] slab, so a decode at position p < c_valid gets
+    exact numerics (rows ≥ p are ancestry-masked anyway) while reading
+    only the first ``c_valid`` rows. Callers lax.switch between a few
+    bucketed variants as the decode deepens (models/beam.py). Constraint:
+    multiples of 128 (the ancestry mask's C axis is its LANE axis; K/V
+    blocks themselves only need sublane-multiple-of-8)."""
     K = beam_size
     BK, H = q.shape[:2]
     hd = q.shape[-1]
     C = k.shape[2]
+    if c_valid and c_valid < C:
+        if c_valid % 128:
+            raise ValueError(f"c_valid must be a multiple of 128, got {c_valid}")
+        C = c_valid
     B = BK // K
     paired = k.shape[-1] == 2 * hd
     anc_s = anc.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B, Ks, Kd, C]
@@ -172,6 +185,129 @@ def beam_attention(
             per_head.transpose(0, 3, 1, 2, 4).reshape(BK, H, hd)
         )
     return out.transpose(0, 2, 1, 3).reshape(BK, H, hd)
+
+
+def _cross_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, scale):
+    """MEASURED NEGATIVE RESULT — kept (tested) as a base for future
+    tiling work, NOT wired into the decode path. One program per (batch
+    item, head block) keeping the fp32 [Hb, K, F] score chain in VMEM
+    sounded right, but Mosaic lowers the per-head batched dots serially:
+    22.5 ms vs 0.63 ms for XLA's _attend_xa formulation per layer-call at
+    B=24 K=5 int8 (tools/bench_beam_cross.py) — the same failure mode as
+    ops/decode_attention.decode_attention_i4."""
+    dt = k_ref.dtype
+    if dt not in (jnp.bfloat16, jnp.float32):
+        dt = jnp.bfloat16  # int8/int4 slabs: MXU operands via bf16 convert
+    q = (q_ref[0].astype(jnp.float32) * jnp.float32(scale)).astype(dt)
+    scores = jax.lax.dot_general(
+        q, k_ref[0].astype(dt),  # [Hb, R, hd] x [Hb, hd, F]
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [Hb, R, F]
+    if ks_ref is not None:
+        scores = scores * ks_ref[0][:, None, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    w = jnp.exp(scores - m)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    if vs_ref is not None:
+        w = w * vs_ref[0][:, None, :]
+    o_ref[0] = jax.lax.dot_general(
+        w.astype(dt), v_ref[0].astype(dt),  # [Hb, R, F] x [Hb, hd, F]
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def beam_cross_attention(
+    q: jnp.ndarray,  # [B, H, K, hd] — K beam queries per (item, head)
+    k: jnp.ndarray,  # [B, H, hd, F] KF slab: bf16, int8 or native int4
+    v: jnp.ndarray,  # [B, H, hd, F]
+    k_scale=None,  # [B, H, F] f32 (quantized slabs, ops/quant.py)
+    v_scale=None,
+    scale: float = 1.0,  # applied to q (so hd**-0.5 total)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused beam cross-attention over the SHARED (untiled) KF slab.
+    Returns [B, H, K, hd] in q.dtype. Same numerics as _attend_xa."""
+    B, H, K, hd = q.shape
+    F = k.shape[-1]
+    R = max(8, -(-K // 8) * 8)  # sublane-pad the query rows
+    if R != K:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, R - K), (0, 0)))
+
+    # Head-block size: fit q/k/v/scores (+ double buffering of k/v) in VMEM.
+    Hb = H
+    while Hb > 1 and 2 * 2 * Hb * hd * F * k.dtype.itemsize > 8 * 2**20:
+        div = next(d for d in range(2, Hb + 1) if Hb % d == 0)
+        Hb //= div
+
+    quant = k_scale is not None
+    specs = [
+        pl.BlockSpec((1, Hb, R, hd), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Hb, hd, F), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Hb, hd, F), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if quant:
+        specs += [
+            pl.BlockSpec((1, Hb, F), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hb, F), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+        kern = functools.partial(_cross_kernel, scale=scale)
+    else:
+        kern = functools.partial(
+            lambda qr, kr, vr, orf, *, scale: _cross_kernel(
+                qr, kr, vr, None, None, orf, scale=scale
+            ),
+            scale=scale,
+        )
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B, H // Hb),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (1, Hb, R, hd), lambda b, h: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, R, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * K * F * hd,
+            bytes_accessed=2 * B * H * hd * F * k.dtype.itemsize,
+            transcendentals=B * H * K * F,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:, :, :K]
+
+
+def beam_cross_attention_reference(q, k, v, k_scale=None, v_scale=None,
+                                   scale=1.0):
+    """XLA twin with identical semantics (the _attend_xa formulation)."""
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    scores = jax.lax.dot_general(
+        qf, k.astype(qf.dtype),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # [B,H,K,F]
+    if k_scale is not None:
+        scores = scores * k_scale[:, :, None, :]
+    w = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        w = w * v_scale[:, :, None, :]
+    out = jax.lax.dot_general(
+        w.astype(q.dtype), v.astype(q.dtype),
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
 
 
 def beam_attention_reference(q, k, v, anc, beam_size, scale=1.0):

@@ -68,6 +68,35 @@ def test_ancestry_selects_the_right_slot():
     np.testing.assert_allclose(np.asarray(out[1]), 2.0, atol=1e-6)
 
 
+def test_c_valid_bounded_reads_are_exact():
+    """c_valid=128 must match the full-slab read whenever the ancestry
+    mask is zero beyond row 128 (the models/beam.py bucketing contract)."""
+    B, K, H, C, hd = 2, 3, 4, 256, 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B * K, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B * K, H, C, hd)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((B * K, H, C, hd)), jnp.float32) * 0.3
+    pos = 100  # decode position inside the first 128-row bucket
+    src = rng.integers(0, K, size=(B, K, C))
+    anc = np.zeros((B, K, K, C), np.float32)
+    b, kd, c = np.meshgrid(np.arange(B), np.arange(K), np.arange(C), indexing="ij")
+    anc[b, kd, src, c] = 1.0
+    anc[:, :, :, pos:] = 0.0
+    anc = jnp.asarray(anc)
+    scale = 64**-0.5
+    full = beam_attention(q, k, v, anc, beam_size=K, scale=scale, interpret=True)
+    cut = beam_attention(
+        q, k, v, anc, beam_size=K, scale=scale, c_valid=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(cut), np.asarray(full), atol=1e-6, rtol=1e-6
+    )
+    with np.testing.assert_raises(ValueError):
+        beam_attention(
+            q, k, v, anc, beam_size=K, scale=scale, c_valid=100, interpret=True
+        )
+
+
 def pair_slab(x, hd):
     """[BK, H, C, hd] → head-paired [BK, H/2, C, 2·hd] (rows [x_h0|x_h1])."""
     BK, H, C, _ = x.shape
@@ -97,4 +126,73 @@ def test_reference_accepts_paired():
     want = beam_attention_reference(q, k, v, anc, beam_size=3, scale=scale)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# beam CROSS attention kernel (shared KF slab, K queries per head)
+# ---------------------------------------------------------------------------
+
+from sentiric_stt_whisper_service_tpu.ops.beam_attention import (  # noqa: E402
+    beam_cross_attention,
+    beam_cross_attention_reference,
+)
+
+
+def make_cross_case(B=2, H=4, K=5, hd=64, F=256, seed=0, quant=False):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, H, K, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, hd, F)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((B, H, hd, F)), jnp.float32) * 0.3
+    if not quant:
+        return q, k, v, None, None
+    from sentiric_stt_whisper_service_tpu.ops.quant import quantize_weight
+
+    k_q, k_s = quantize_weight(k, axis=-2)
+    v_q, v_s = quantize_weight(v, axis=-2)
+    return q, k_q, v_q, k_s, v_s
+
+
+def test_cross_kernel_matches_reference_bf16():
+    q, k, v, _, _ = make_cross_case()
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+    s = 64**-0.5
+    got = beam_cross_attention(q, k, v, scale=s, interpret=True)
+    want = beam_cross_attention_reference(q, k, v, scale=s)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_cross_kernel_matches_reference_int8():
+    q, k_q, v_q, k_s, v_s = make_cross_case(quant=True, seed=1)
+    q = q.astype(jnp.bfloat16)
+    s = 64**-0.5
+    got = beam_cross_attention(q, k_q, v_q, k_s, v_s, scale=s, interpret=True)
+    want = beam_cross_attention_reference(q, k_q, v_q, k_s, v_s, scale=s)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_cross_kernel_matches_attend_xa_semantics():
+    """The kernel must equal models/whisper._attend_xa on the same slab
+    (the production formulation it replaces in decoder_step_beam)."""
+    from sentiric_stt_whisper_service_tpu.models.whisper import _attend_xa
+
+    q, k_q, v_q, k_s, v_s = make_cross_case(quant=True, seed=2)
+    q = q.astype(jnp.bfloat16)
+    scale = 64**-0.25  # _attend_xa squares this internally
+    xa = {"k_q": k_q, "v_q": v_q, "k_scale": k_s, "v_scale": v_s}
+    want, _ = _attend_xa(q, xa, scale)
+    got = beam_cross_attention(
+        q, k_q, v_q, k_s, v_s, scale=scale * scale, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
     )

@@ -40,6 +40,17 @@ def test_config_presets():
     assert tiny_en.n_vocab == 51864
     med = config_for("medium")
     assert med.n_audio_state == 1024 and med.n_audio_head == 16
+    # distil-whisper: full-size encoder, shallow decoder.
+    dl3 = config_for("distil-large-v3")
+    assert dl3.n_audio_layer == 32 and dl3.n_text_layer == 2
+    assert dl3.n_mels == 128 and dl3.n_vocab == 51866
+    dl2 = config_for("distil-large-v2")
+    assert dl2.n_mels == 80 and dl2.n_vocab == 51865 and dl2.n_text_layer == 2
+    dmed = config_for("distil-medium.en")
+    assert dmed.n_audio_state == 1024 and dmed.n_text_layer == 2
+    assert dmed.n_vocab == 51864
+    dsm = config_for("distil-small.en")
+    assert dsm.n_audio_state == 768 and dsm.n_text_layer == 4
 
 
 def test_encoder_shape(setup):

@@ -31,14 +31,23 @@ from sentiric_stt_whisper_service_tpu.ops import N_SAMPLES, compute_log_mel
 from sentiric_stt_whisper_service_tpu.ops.quant import (
     fuse_decoder_qkv,
     quantize_params,
-    quantize_xa_kv,
 )
 from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
 
 MODEL = os.environ.get("BENCH_MODEL", "large-v3")
 B = int(os.environ.get("BENCH_BATCH", "8"))
 K = int(os.environ.get("BENCH_BEAM", "5"))
-KV_BITS = 4 if os.environ.get("BENCH_COMPUTE", "int8").startswith("int4") else 8
+# int4 cross-KV is the beam default: the shared cross slab is the beam
+# step's dominant HBM stream and the serving engine ships int4 for beam.
+KV_BITS = 8 if os.environ.get("BENCH_COMPUTE", "int4").startswith("int8") else 4
+# bf16 self-slab default: a float8 slab REGRESSES the Pallas beam kernel
+# (232.9 → 125.1 RTFx at B=8 int8 — the in-kernel fp8→bf16 convert runs
+# per source slot), unlike the greedy path where fp8 storage wins.
+SELF_DTYPE = (
+    jnp.float8_e4m3fn
+    if os.environ.get("BENCH_SELF_CACHE", "bf16").lower() in ("f8", "fp8", "float8")
+    else None
+)
 DECODE_TOKENS = 128
 
 
@@ -62,12 +71,12 @@ def main():
     @jax.jit
     def pipeline(p, a):
         mel = compute_log_mel(a, n_mels=cfg.n_mels, dtype=cfg.dtype)
-        xa_kv = quantize_xa_kv(
-            precompute_xa_kv(cfg, p, encoder_apply(cfg, p, mel)), KV_BITS
-        )
+        # Quantization fused INTO the precompute scan: the bf16 slab is
+        # never materialized (HBM-pressure cliff at large B, docs/PERF.md).
+        xa_kv = precompute_xa_kv(cfg, p, encoder_apply(cfg, p, mel), KV_BITS)
         return decode_window_beam(
             cfg, p, xa_kv, tinit, len(sot), 0, ids, sup,
-            beam_size=K, max_len=max_len,
+            beam_size=K, max_len=max_len, self_dtype=SELF_DTYPE,
         )
 
     res = pipeline(params, audio)
