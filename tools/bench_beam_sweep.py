@@ -42,23 +42,24 @@ DECODE_TOKENS = int(os.environ.get("BENCH_TOKENS", "128"))
 
 
 def main():
-    cfg = config_for(MODEL, dtype=jnp.bfloat16)
-    params = init_params(cfg, seed=0)
-    params = fuse_decoder_qkv(cfg, quantize_params(cfg, params))
+    cfg = config_for(MODEL)
+    params = jax.block_until_ready(
+        fuse_decoder_qkv(quantize_params(init_params(cfg, jax.random.key(0))))
+    )
     tok = fallback_tokenizer(cfg.n_vocab)
     ids = TokenIds.from_tokenizer(tok)
-    sup = build_suppress_mask(tok, ids)
-    sot = [ids.sot, ids.sot + 1 + 50, ids.transcribe, ids.no_timestamps]
+    sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, tok.non_speech_tokens))
+    sot = tok.sot_sequence("en")
     max_len = len(sot) + DECODE_TOKENS
     rng = np.random.default_rng(0)
 
     for B in BATCHES:
         audio = jnp.asarray(
-            rng.standard_normal((B, N_SAMPLES)) * 0.05, jnp.float32
+            (rng.standard_normal((B, N_SAMPLES)) * 0.05).astype(np.float32)
         )
-        tinit = jnp.zeros((B, cfg.n_text_ctx), jnp.int32).at[
-            :, : len(sot)
-        ].set(jnp.asarray(sot, jnp.int32))
+        tinit_np = np.full((B, cfg.n_text_ctx), ids.eot, np.int32)
+        tinit_np[:, : len(sot)] = sot
+        tinit = jnp.asarray(tinit_np)
 
         @jax.jit
         def pipeline(p, a, tinit=tinit):
