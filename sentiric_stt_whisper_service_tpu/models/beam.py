@@ -46,6 +46,48 @@ from .whisper import (
 )
 
 
+def _fold_self(cfg: WhisperConfig) -> bool:
+    """Rank-6 FOLDED self cache (decoder_step_beam): beam self-attention
+    as one standard masked XLA attention over [B, H/2, K·C, 2hd].
+
+    MEASURED NEGATIVE END-TO-END: the folded layout's 6-D interior-dim
+    append DUS costs far more than the attention saves (96.5 vs 248.7
+    RTFx at B=16 int4 — the same failure the round-1 [L,B,H,K,C,hd]
+    attempt hit), even though the attention itself matches the kernel
+    (tools/bench_beam_fold.py). Default OFF; SSTW_BEAM_FOLD=1 re-enables
+    for A/B."""
+    import os
+
+    if os.environ.get("SSTW_BEAM_FOLD", "0") != "1":
+        return False
+    return pairing_ok(cfg)
+
+
+def topk_small(logits: jnp.ndarray, k: int):
+    """Exact top-k over the vocab axis as k iterative argmax passes.
+
+    ``lax.top_k`` over [B*K, 51866] costs ~2.2 ms/step at BK=80 on the
+    chip (VPU sort); k reduce+mask passes over the same tensor cost
+    ~0.3 ms (tools/bench_beam_parts.py). Matches lax.top_k exactly,
+    including tie order (argmax picks the lowest index, and masking the
+    winner makes the next pass pick the next-lowest — lax.top_k's stable
+    order), PROVIDED each row has at least k entries above the NEG_INF
+    sentinel (a masked winner ties at NEG_INF and would be re-picked
+    otherwise). The beam loop always satisfies this: suppression masks
+    ~10² of 5×10⁴ vocab entries, and fully-NEG_INF rows (finished beams)
+    have their top_k output overwritten before use (step_fn).
+    Returns (values [.., k], indices [.., k] int32)."""
+    iota = jnp.arange(logits.shape[-1])
+    vals, idxs = [], []
+    x = logits
+    for _ in range(k):
+        idx = jnp.argmax(x, axis=-1)
+        vals.append(jnp.take_along_axis(x, idx[..., None], axis=-1)[..., 0])
+        idxs.append(idx.astype(jnp.int32))
+        x = jnp.where(iota == idx[..., None], NEG_INF, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def decode_window_beam(
     cfg: WhisperConfig,
     params,
@@ -74,11 +116,13 @@ def decode_window_beam(
     max_len = max_len or cfg.n_text_ctx
     from .whisper import _use_flash as _flash
 
-    if self_dtype is not None and _flash():
+    if self_dtype is not None and _flash() and not _fold_self(cfg):
         # A float8 self slab REGRESSES the fused beam kernel ~2× (232.9 →
         # 125.1 RTFx at B=8 int8: the in-kernel f8→bf16 convert runs per
         # source slot) — unlike the greedy path, where f8 storage wins.
-        # Beam keeps bf16 self storage whatever the engine's auto policy.
+        # The unpaired-kernel fallback therefore keeps bf16 self storage;
+        # the default FOLDED XLA path (decoder_step_beam rank-6 cache)
+        # fuses the convert into the dot and honors the engine's policy.
         self_dtype = None
     return _decode_window_beam_impl(
         cfg, params, xa_kv, tokens_init,
@@ -127,20 +171,32 @@ def _decode_window_beam_impl(
     # mask points every beam at slot 0 for prompt positions, so the prefix is
     # never tiled. The cross slab stays untiled forever — decoder_step_beam
     # shares it across beams (docs/PERF.md beam-path redesign).
+    fold = _fold_self(cfg)
     kv_b = init_kv_cache(cfg, B, cache_len, paired=pairing_ok(cfg), dtype=self_dtype)
     prefill_logits, kv_b, _ = decoder_apply(
         cfg, params, tokens_init[:, :prefill_len], jnp.int32(0), kv_b, xa_kv
     )
-    # Slot cache [L, B*K, H, C, hd] (decoder_step_beam): the prefilled
-    # prompt lives in each item's physical slot 0; other slots fill as
-    # beams append.
-    kv = {
-        name: jnp.zeros((v.shape[0], B, K) + v.shape[2:], v.dtype)
-        .at[:, :, 0]
-        .set(v)
-        .reshape((v.shape[0], BK) + v.shape[2:])
-        for name, v in kv_b.items()
-    }
+    if fold:
+        # FOLDED cache [L, B, H/2, K, C, 2hd] (decoder_step_beam rank-6
+        # path): slot segments adjacent to the position axis; prefilled
+        # prompt in each item's slot 0.
+        kv = {
+            name: jnp.zeros(
+                v.shape[:3] + (K,) + v.shape[3:], v.dtype
+            ).at[:, :, :, 0].set(v)
+            for name, v in kv_b.items()
+        }
+    else:
+        # Slot cache [L, B*K, H, C, hd] (decoder_step_beam): the prefilled
+        # prompt lives in each item's physical slot 0; other slots fill as
+        # beams append.
+        kv = {
+            name: jnp.zeros((v.shape[0], B, K) + v.shape[2:], v.dtype)
+            .at[:, :, 0]
+            .set(v)
+            .reshape((v.shape[0], BK) + v.shape[2:])
+            for name, v in kv_b.items()
+        }
     # anc[b, kd, ks, c]: beam kd reads position c from physical slot ks.
     anc = (jnp.arange(K) == 0)[None, None, :, None] & (
         jnp.arange(cache_len) < sample_begin
@@ -173,7 +229,7 @@ def _decode_window_beam_impl(
         # Top-K continuations per beam. top_k runs on the RAW logits (same
         # order); the shift to logprobs happens on the [BK, K] result —
         # avoids materializing a [BK, V] log_softmax every step.
-        top_val, top_tok = jax.lax.top_k(logits, K)  # [BK, K]
+        top_val, top_tok = topk_small(logits, K)  # [BK, K]
         top_lp = top_val - jax.nn.logsumexp(logits, axis=-1)[:, None]
         # Finished beams: single EOT candidate with score unchanged.
         top_lp = jnp.where(done[:, None], NEG_INF, top_lp)
@@ -228,7 +284,7 @@ def _decode_window_beam_impl(
         from .whisper import _use_flash
 
         buckets = list(range(128, cache_len, 128)) + [cache_len]
-        if cache_buckets and _use_flash() and len(buckets) > 1:
+        if cache_buckets and (fold or _use_flash()) and len(buckets) > 1:
             def mk_branch(cb):
                 def branch(tok_, pos_, kv_, anc_):
                     return decoder_step_beam(

@@ -985,7 +985,17 @@ def decoder_step_beam(
     d = cfg.n_text_state
     hd = d // h
     scale = hd**-0.25
-    paired = _is_paired_cache(kv_cache, hd)
+    # FOLDED cache [L, B, H/2, K, C, 2·hd] (rank 6, always head-paired):
+    # the K slot segments are adjacent to the position axis, so the slab
+    # reshapes FREE (adjacent-dim merge) to [B, H/2, K·C, 2·hd] and beam
+    # self-attention becomes ONE standard masked XLA attention — the
+    # formulation that fuses a float8 slab's convert into the dot (the
+    # greedy-path f8 win, init_kv_cache). The Pallas slot kernel path
+    # (rank-5 cache) measured ~280 GB/s vs XLA's higher stream rate and
+    # cannot take f8 (in-kernel converts regress 2×) —
+    # tools/bench_beam_fold.py.
+    folded = kv_cache["k"].ndim == 6
+    paired = folded or _is_paired_cache(kv_cache, hd)
 
     x = embed_tokens(dec, tokens) + dec["pos_emb"][pos][None]  # [S, d]
     x = x[:, None, :].astype(cfg.dtype)  # [S, 1, d]
@@ -1014,29 +1024,90 @@ def decoder_step_beam(
                 return z.reshape(S, h // 2, 2 * hd)
             return heads1(z)
 
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, rows(kp)[None, :, :, None, :].astype(k_all.dtype),
-            (li, 0, 0, pos, 0),
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, rows(vp)[None, :, :, None, :].astype(v_all.dtype),
-            (li, 0, 0, pos, 0),
-        )
-        k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
-        # On TPU: the fused Pallas kernel keeps the [B,H,Kd,Ks,C] score
-        # chain in VMEM (15.1 → 6.1 ms/step over the 32-layer stack,
-        # tools/bench_beam_attn.py); elsewhere the XLA twin.
-        if _use_flash():
-            sa = beam_attn(
-                heads1(qp), k_cache, v_cache, anc_mask, K,
-                scale=scale * scale, c_valid=c_valid,
-            )  # [S, H, hd]
-        else:
-            sa = beam_attn_ref(
-                heads1(qp), k_cache, v_cache, anc_mask, K, scale=scale * scale
+        if folded:
+            # Append beam kd's row into its slot segment: one shared-offset
+            # DUS on the position axis (update [1, B, Hp, K, 1, 2hd]).
+            def fold_rows(z):
+                return (
+                    rows(z).reshape(B, K, h // 2, 2 * hd)
+                    .transpose(0, 2, 1, 3)[None, :, :, :, None, :]
+                )
+
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, fold_rows(kp).astype(k_all.dtype), (li, 0, 0, 0, pos, 0)
             )
-        sa = sa.reshape(S, 1, d)
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, fold_rows(vp).astype(v_all.dtype), (li, 0, 0, 0, pos, 0)
+            )
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            C = k_cache.shape[3]
+            cb = c_valid if (c_valid and c_valid < C) else C
+            kc = k_cache[:, :, :, :cb].reshape(B, h // 2, K * cb, 2 * hd)
+            vc = v_cache[:, :, :, :cb].reshape(B, h // 2, K * cb, 2 * hd)
+            if kc.dtype != cfg.dtype:  # float8 slab: convert fuses into dot
+                kc = kc.astype(cfg.dtype)
+                vc = vc.astype(cfg.dtype)
+            # Paired query rows [B, Hp, 2K, 2hd]: beams 0..K-1 of the even
+            # head, then of the odd head (zero-padded lanes — exact).
+            qr = (qp.reshape(S, d).astype(jnp.float32) * (scale * scale)).astype(
+                cfg.dtype
+            ).reshape(B, K, h // 2, 2, hd).transpose(0, 2, 3, 1, 4)
+            z = jnp.zeros_like(qr[:, :, :1])
+            q_bh = jnp.concatenate(
+                [
+                    jnp.concatenate([qr[:, :, :1], z], axis=-1),
+                    jnp.concatenate([z, qr[:, :, 1:]], axis=-1),
+                ],
+                axis=2,
+            ).reshape(B, h // 2, 2 * K, 2 * hd)
+            scores = jax.lax.dot_general(
+                q_bh, kc,
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            )  # [B, Hp, 2K, K·cb]
+            # anc [B, Kd, Ks, C] → rows [B, 2K, Ks·cb] (same mask for both
+            # head rows of a beam).
+            m = anc_mask[:, :, :, :cb].reshape(B, K, K * cb)
+            m2 = jnp.concatenate([m, m], axis=1)[:, None]  # [B, 1, 2K, K·cb]
+            scores = jnp.where(m2 > 0, scores, jnp.float32(-1e30))
+            w = jax.nn.softmax(scores, axis=-1)
+            o = jax.lax.dot_general(
+                w.astype(vc.dtype), vc,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            ).astype(cfg.dtype)  # [B, Hp, 2K, 2hd]
+            o5 = o.reshape(B, h // 2, 2, K, 2 * hd)
+            sa = (
+                jnp.stack([o5[:, :, 0, :, :hd], o5[:, :, 1, :, hd:]], axis=2)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(S, 1, d)
+            )
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, rows(kp)[None, :, :, None, :].astype(k_all.dtype),
+                (li, 0, 0, pos, 0),
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, rows(vp)[None, :, :, None, :].astype(v_all.dtype),
+                (li, 0, 0, pos, 0),
+            )
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            # On TPU: the fused Pallas kernel keeps the [B,H,Kd,Ks,C] score
+            # chain in VMEM (15.1 → 6.1 ms/step over the 32-layer stack,
+            # tools/bench_beam_attn.py); elsewhere the XLA twin.
+            if _use_flash():
+                sa = beam_attn(
+                    heads1(qp), k_cache, v_cache, anc_mask, K,
+                    scale=scale * scale, c_valid=c_valid,
+                )  # [S, H, hd]
+            else:
+                sa = beam_attn_ref(
+                    heads1(qp), k_cache, v_cache, anc_mask, K,
+                    scale=scale * scale,
+                )
+            sa = sa.reshape(S, 1, d)
         hx = hx + dense(sa.astype(hx.dtype), layer["attn"]["o"])
 
         # Cross-attention: K beam queries against ONE untiled KF slab.

@@ -190,3 +190,25 @@ def test_beam_int8_path_runs(setup):
     )
     assert np.isfinite(np.asarray(res.avg_logprobs)).all()
     assert (np.asarray(res.lengths) > len(sot_seq)).all()
+
+
+def test_topk_small_matches_lax_top_k():
+    """topk_small (k iterative argmax passes — the cheap exact top-k the
+    beam loop uses over [BK, V]) must match lax.top_k exactly, including
+    tie order and -inf rows."""
+    from sentiric_stt_whisper_service_tpu.models.beam import topk_small
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((7, 513)).astype(np.float32)
+    # force ties, and suppression-style NEG_INF entries (the contract
+    # requires ≥ k entries above the sentinel per row — always true in
+    # the beam loop, see topk_small docstring)
+    x[0, 10] = x[0, 99] = x[0, 200] = 3.14
+    x[1, 5:] = -1e30
+    x[2, :5] = 7.0
+    xj = jnp.asarray(x)
+    for k in (1, 3, 5):
+        want_v, want_i = jax.lax.top_k(xj, k)
+        got_v, got_i = topk_small(xj, k)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))

@@ -61,13 +61,19 @@ def main():
         tinit_np[:, : len(sot)] = sot
         tinit = jnp.asarray(tinit_np)
 
+        # BENCH_SELF_CACHE=f8 stores the beam self slab as float8_e4m3fn
+        # (the engine's auto policy for quantized compute types; honored
+        # by the folded self path, models/beam._fold_self).
+        sc = os.environ.get("BENCH_SELF_CACHE", "").lower()
+        self_dtype = jnp.float8_e4m3fn if sc in ("f8", "fp8", "float8") else None
+
         @jax.jit
         def pipeline(p, a, tinit=tinit):
             mel = compute_log_mel(a, n_mels=cfg.n_mels, dtype=cfg.dtype)
             xa_kv = precompute_xa_kv(cfg, p, encoder_apply(cfg, p, mel), KV_BITS)
             return decode_window_beam(
                 cfg, p, xa_kv, tinit, len(sot), 0, ids, sup,
-                beam_size=K, max_len=max_len,
+                beam_size=K, max_len=max_len, self_dtype=self_dtype,
             )
 
         res = pipeline(params, audio)

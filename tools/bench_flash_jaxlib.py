@@ -66,23 +66,36 @@ def main():
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
+        SegmentIds,
         flash_attention as theirs,
     )
 
+    # jaxlib kernel wants the seq divisible by its blocks: pad 1500 → 1536
+    # and mask the pad rows out via segment ids (pad gets segment 2).
+    LP = 1536
+    pad = ((0, 0), (0, 0), (0, LP - L), (0, 0))
+    qp = jnp.pad(q, pad)
+    kp = jnp.pad(k, pad)
+    vp = jnp.pad(v, pad)
+    seg_q = jnp.concatenate(
+        [jnp.ones((B, L), jnp.int32), jnp.full((B, LP - L), 2, jnp.int32)], 1)
+    seg = SegmentIds(q=seg_q, kv=seg_q)
+
     for name, bs in [
         ("jaxlib_default", None),
-        ("jaxlib_512_512", BlockSizes(block_q=512, block_k_major=512,
-                                      block_k=512, block_b=1)),
-        ("jaxlib_1536_768", BlockSizes(block_q=1536 // 2, block_k_major=1536,
-                                       block_k=768, block_b=1)),
+        ("jaxlib_512", BlockSizes(block_q=512, block_k_major=512,
+                                  block_k=512, block_b=1)),
+        ("jaxlib_768", BlockSizes(block_q=768, block_k_major=768,
+                                  block_k=768, block_b=1)),
     ]:
         try:
             @jax.jit
             def run_theirs(q, k, v, bs=bs):
-                return theirs(q, k, v, sm_scale=1.0, block_sizes=bs)
+                return theirs(q, k, v, segment_ids=seg, sm_scale=1.0,
+                              block_sizes=bs)
 
-            dt = timeit(run_theirs, q, k, v)
-            out_t = run_theirs(q, k, v)
+            dt = timeit(run_theirs, qp, kp, vp)
+            out_t = run_theirs(qp, kp, vp)[:, :, :L]
             err = float(
                 jnp.max(jnp.abs(out_t.astype(jnp.float32)
                                 - out_ours.astype(jnp.float32)))
