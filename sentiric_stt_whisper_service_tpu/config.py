@@ -122,6 +122,14 @@ class Settings:
     # with the context, so short clips/partials decode up to ~3x faster
     # at a small accuracy cost; N = fixed context.
     audio_ctx: int = 0
+    # Speculative decoding (models/speculative.py): a small draft model
+    # (e.g. "large-v3-turbo" or a distil-whisper config against
+    # "large-v3") proposes spec_gamma tokens per round and the target
+    # verifies them in one pass — exact greedy output, ~E[accept]+1
+    # tokens per target-model step. Engaged on the single-stream greedy
+    # path (parallel_requests == 1); "" disables.
+    draft_model: str = ""
+    spec_gamma: int = 4
     # Decode micro-batch size for the continuous batcher (per chip).
     max_batch_size: int = 8
     # Mesh axes for weight sharding: "1" = single chip. e.g. "2x4" = dp=2, tp=4.
@@ -169,6 +177,8 @@ def load_settings() -> Settings:
     s.self_cache = _env("SELF_CACHE", s.self_cache)
     s.model_load_timeout = _env_int("MODEL_LOAD_TIMEOUT", s.model_load_timeout)
     s.no_timestamps = _env_bool("NO_TIMESTAMPS", s.no_timestamps)
+    s.draft_model = _env("DRAFT_MODEL", s.draft_model)
+    s.spec_gamma = _env_int("SPEC_GAMMA", s.spec_gamma)
 
     s.language = _env("LANGUAGE", s.language)
     s.translate = _env_bool("TRANSLATE", s.translate)

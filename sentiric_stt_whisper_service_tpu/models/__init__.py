@@ -18,3 +18,4 @@ from .sampling import (  # noqa: F401
     build_suppress_mask,
     decode_window,
 )
+from .speculative import decode_window_spec  # noqa: F401

@@ -339,9 +339,26 @@ def mha(q, k, v, n_head: int, mask: Optional[jnp.ndarray] = None):
 
     qh, kh, vh = to_heads(q) * scale, to_heads(k) * scale, to_heads(v)
     if mask is None and t >= 512 and _use_flash():
-        from ..ops.flash_attention import flash_attention
+        import os
 
-        out = flash_attention(qh, kh, vh)
+        from ..ops.flash_attention import (
+            flash_attention,
+            flash_attention_jaxlib,
+        )
+
+        # jaxlib's tuned kernel wins in ISOLATION (5.94 vs 6.3-6.5 ms at
+        # [16,20,1500,64], tools/bench_flash_jaxlib.py) but LOSES in the
+        # full pipeline (455.5 vs 472.7 RTFx at B=56 int8): its
+        # divisibility rules force a 1500 → 1536 pad of q/k/v plus an
+        # output slice every layer, which costs more than the kernel
+        # saves. Ours stays the default; SSTW_ENC_FLASH=jaxlib for A/B.
+        if os.environ.get("SSTW_ENC_FLASH", "ours") == "jaxlib":
+            try:
+                out = flash_attention_jaxlib(qh, kh, vh)
+            except Exception:  # unsupported shape/kernel rules
+                out = flash_attention(qh, kh, vh)
+        else:
+            out = flash_attention(qh, kh, vh)
     else:
         out, _ = _attend(qh, kh, vh, mask)
     return out.transpose(0, 2, 1, 3).reshape(b, t, d)

@@ -207,6 +207,41 @@ class SttEngine:
                 suppress_nst=settings.suppress_nst,
             )
         )
+        # Speculative decoding draft (models/speculative.py): loaded like
+        # the main model, quantized/fused the same way. The draft's
+        # cross-KV is precomputed from the TARGET's encoder output
+        # (turbo/distil drafts ship the target's frozen encoder, so this
+        # shares the encode pass); dims must match.
+        self.draft_cfg = None
+        self.draft_params = None
+        dm = (settings.draft_model or "").strip()
+        if dm:
+            self.draft_cfg = config_for(dm)
+            if self.draft_cfg.n_audio_state != self.cfg.n_audio_state:
+                raise ValueError(
+                    f"draft_model {dm!r} encoder width "
+                    f"{self.draft_cfg.n_audio_state} != target "
+                    f"{self.cfg.n_audio_state} — cannot share encoder output"
+                )
+            if random_init:
+                dparams = init_params(self.draft_cfg, jax.random.key(1))
+            else:
+                from ..checkpoint import load_checkpoint
+
+                dsettings = dataclasses.replace(
+                    settings, model_filename=f"ggml-{dm}.bin"
+                )
+                dparams, _ = load_checkpoint(dsettings, self.draft_cfg)
+            if self.quantized:
+                from ..ops.quant import is_quantized, quantize_params
+
+                if not is_quantized(dparams):
+                    dparams = quantize_params(dparams)
+            if settings.mesh_shape in ("1", "", None):
+                from ..ops.quant import fuse_decoder_qkv
+
+                dparams = fuse_decoder_qkv(dparams)
+            self.draft_params = dparams
         self._slots = threading.Semaphore(max(1, settings.parallel_requests))
         self._ready = True
         self._rng = jax.random.key(int(time.time()) & 0x7FFFFFFF)
@@ -335,6 +370,25 @@ class SttEngine:
             self.cfg, self.params, jnp.asarray(windows), self.xa_bits
         )
 
+    def _encode_window_with_draft(
+        self, windows: np.ndarray, n_ctx: Optional[int] = None
+    ):
+        """Like ``_encode_window`` but also returns the DRAFT model's
+        cross-KV, precomputed from the same (target) encoder output in
+        the same fused executable — the speculative path's frontend."""
+        windows = np.asarray(windows)
+        if n_ctx is not None:
+            target = n_ctx * 320
+            if target < windows.shape[-1]:
+                windows = windows[..., :target]
+            elif target > windows.shape[-1]:
+                pad = [(0, 0)] * (windows.ndim - 1) + [(0, target - windows.shape[-1])]
+                windows = np.pad(windows, pad)
+        return _encode_audio_op_pair(
+            self.cfg, self.params, self.draft_cfg, self.draft_params,
+            jnp.asarray(windows), self.xa_bits,
+        )
+
     # ------------------------------------------------------------------
     def transcribe_pcm16(
         self,
@@ -451,8 +505,14 @@ class SttEngine:
         beam_size: int,
         best_of: int,
         should_abort=None,
+        xa_kv_draft=None,
     ):
-        """One decode attempt at one temperature for a single window."""
+        """One decode attempt at one temperature for a single window.
+
+        ``xa_kv_draft``: the draft model's cross-KV for this window —
+        routes greedy decodes through speculative decoding
+        (models/speculative.py; exact greedy output, fewer target
+        steps)."""
         from ..models.sampling import prompt_bucket
 
         ctx = self.cfg.n_text_ctx
@@ -470,6 +530,21 @@ class SttEngine:
             xa_kv["k_scale"].shape[-1] if "k_scale" in xa_kv
             else xa_kv["k"].shape[-1]
         )
+        if (
+            xa_kv_draft is not None
+            and temperature <= 0.0
+            and beam_size <= 1
+        ):
+            from ..models.speculative import decode_window_spec
+
+            return decode_window_spec(
+                self.cfg, self.params, xa_kv,
+                self.draft_cfg, self.draft_params, xa_kv_draft,
+                tinit, sample_begin, sot_index, self.ids,
+                self.suppress_mask, max_len=max_len,
+                gamma=max(1, self.settings.spec_gamma),
+                prefill_len=prefill_len, self_dtype=self.self_dtype,
+            )
         if (
             temperature <= 0.0
             and beam_size <= 1
@@ -571,9 +646,23 @@ class SttEngine:
             window[:remain] = audio[seek : seek + remain]
             window_dur_cs = int(round(remain / SAMPLE_RATE * 100))  # centisec
 
-            xa_kv = self._encode_window(
-                window[None], self._window_ctx(remain, options.audio_ctx)
+            # Speculative path: single-stream greedy with a configured
+            # draft — both models' cross-KV come out of one fused encode.
+            use_spec = (
+                self.draft_params is not None
+                and temperature0 <= 0.0
+                and beam_size <= 1
+                and s.parallel_requests == 1
             )
+            xa_kv_draft = None
+            if use_spec:
+                xa_kv, xa_kv_draft = self._encode_window_with_draft(
+                    window[None], self._window_ctx(remain, options.audio_ctx)
+                )
+            else:
+                xa_kv = self._encode_window(
+                    window[None], self._window_ctx(remain, options.audio_ctx)
+                )
 
             # Decoder preamble: [sot_prev + carried/prompt] [sot lang task].
             prefix = prompt_text_tokens + carried_tokens
@@ -597,6 +686,7 @@ class SttEngine:
                 res = self._decode_one(
                     xa_kv, init_tokens, sample_begin, sot_index,
                     t, beam_size, best_of, should_abort=options.should_abort,
+                    xa_kv_draft=xa_kv_draft if t <= 0.0 else None,
                 )
                 if res is None:  # aborted mid-decode
                     return results
@@ -970,6 +1060,24 @@ def _encode_audio_op(cfg, params, audio, kv_bits: int):
     mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
     return precompute_xa_kv(
         cfg, params, encoder_apply(cfg, params, mel), kv_bits
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "draft_cfg", "kv_bits")
+)
+def _encode_audio_op_pair(cfg, params, draft_cfg, draft_params, audio,
+                          kv_bits: int):
+    """Speculative frontend: one encoder pass feeds BOTH models' cross-KV
+    precomputes (turbo/distil drafts ship the target's frozen encoder, so
+    the draft only adds its few-layer k/v projections)."""
+    from ..models.whisper import encoder_apply, precompute_xa_kv
+
+    mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
+    xa = encoder_apply(cfg, params, mel)
+    return (
+        precompute_xa_kv(cfg, params, xa, kv_bits),
+        precompute_xa_kv(draft_cfg, draft_params, xa, kv_bits),
     )
 
 

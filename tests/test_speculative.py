@@ -1,0 +1,158 @@
+"""Speculative decoding exactness: decode_window_spec must emit the SAME
+token sequence as target-only greedy decode_window, for any draft.
+
+Covers both regimes:
+  * draft == target: every proposal accepted (the fast path), and
+  * an independently-initialized draft: near-zero acceptance, so almost
+    every round exercises the mismatch-correction path.
+The guarantee under test is the core speculative-decoding invariant: the
+draft can only change speed, never the output (models/speculative.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sentiric_stt_whisper_service_tpu.models import (
+    TokenIds,
+    build_suppress_mask,
+    config_for,
+    decode_window,
+    decode_window_spec,
+    encoder_apply,
+    init_params,
+    precompute_xa_kv,
+)
+from sentiric_stt_whisper_service_tpu.ops import log_mel_spectrogram
+from sentiric_stt_whisper_service_tpu.tokenizer import fallback_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = dataclasses.replace(config_for("test"), dtype=jnp.float32)
+    params = init_params(cfg, jax.random.key(0))
+    draft_params = init_params(cfg, jax.random.key(7))
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    mel = np.asarray(log_mel_spectrogram(audio, n_mels=cfg.n_mels))
+    xa = encoder_apply(cfg, params, jnp.asarray(mel[None]))
+    xa_kv = precompute_xa_kv(cfg, params, xa)
+    xa_d = encoder_apply(cfg, draft_params, jnp.asarray(mel[None]))
+    xa_kv_d = precompute_xa_kv(cfg, draft_params, xa_d)
+    tok = fallback_tokenizer(cfg.n_vocab)
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, tok.non_speech_tokens))
+    sot = tok.sot_sequence("en")
+    tinit = np.full((1, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[0, : len(sot)] = sot
+    return cfg, params, draft_params, xa_kv, xa_kv_d, jnp.asarray(tinit), \
+        len(sot), ids, sup
+
+
+def _greedy_reference(setup, max_new):
+    cfg, params, _, xa_kv, _, tinit, sb, ids, sup = setup
+    return decode_window(
+        cfg, params, xa_kv, tinit, sb, 0, ids, sup,
+        jnp.float32(0.0), jax.random.key(0), max_len=sb + max_new,
+    )
+
+
+@pytest.mark.parametrize("gamma", [1, 3, 4])
+def test_spec_decode_matches_greedy_same_draft(setup, gamma):
+    """Draft == target: 100% acceptance; output must be token-exact."""
+    cfg, params, _, xa_kv, _, tinit, sb, ids, sup = setup
+    max_new = 20
+    want = _greedy_reference(setup, max_new)
+    got = decode_window_spec(
+        cfg, params, xa_kv, cfg, params, xa_kv, tinit, sb, 0, ids, sup,
+        max_len=sb + max_new, gamma=gamma,
+    )
+    n = int(want.lengths[0])
+    assert int(got.lengths[0]) == n
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens)[0, :n], np.asarray(want.tokens)[0, :n]
+    )
+    np.testing.assert_allclose(
+        float(got.sum_logprobs[0]), float(want.sum_logprobs[0]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(got.no_speech_probs[0]), float(want.no_speech_probs[0]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("gamma", [2, 4])
+def test_spec_decode_matches_greedy_bad_draft(setup, gamma):
+    """Independently-random draft: near-zero acceptance — the correction
+    path must still reproduce target-greedy exactly."""
+    cfg, params, draft_params, xa_kv, xa_kv_d, tinit, sb, ids, sup = setup
+    max_new = 16
+    want = _greedy_reference(setup, max_new)
+    got = decode_window_spec(
+        cfg, params, xa_kv, cfg, draft_params, xa_kv_d, tinit, sb, 0, ids,
+        sup, max_len=sb + max_new, gamma=gamma,
+    )
+    n = int(want.lengths[0])
+    assert int(got.lengths[0]) == n
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens)[0, :n], np.asarray(want.tokens)[0, :n]
+    )
+    np.testing.assert_allclose(
+        float(got.sum_logprobs[0]), float(want.sum_logprobs[0]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_spec_decode_max_len_clamp(setup):
+    """The round overshoot must clamp at max_len exactly like
+    decode_window (no tokens past the budget)."""
+    cfg, params, _, xa_kv, _, tinit, sb, ids, sup = setup
+    for max_new in (1, 2, 5):
+        want = _greedy_reference(setup, max_new)
+        got = decode_window_spec(
+            cfg, params, xa_kv, cfg, params, xa_kv, tinit, sb, 0, ids, sup,
+            max_len=sb + max_new, gamma=4,
+        )
+        assert int(got.lengths[0]) == int(want.lengths[0])
+        n = int(want.lengths[0])
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens)[0, :n], np.asarray(want.tokens)[0, :n]
+        )
+
+
+def test_engine_draft_model_plumbing():
+    """SttEngine with draft_model configured routes greedy single-stream
+    decodes through decode_window_spec and produces the same results as
+    the plain engine (exactness is pinned above; this pins the engine
+    wiring: config -> draft load -> fused pair encode -> spec decode)."""
+    from sentiric_stt_whisper_service_tpu.config import Settings
+    from sentiric_stt_whisper_service_tpu.runtime.engine import (
+        RequestOptions,
+        SttEngine,
+    )
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
+             + 0.05 * rng.standard_normal(sr * 2)).astype(np.float32)
+    pcm = (audio * 20000).astype(np.int16)
+
+    base = dict(enable_vad=False, beam_size=1, best_of=1,
+                parallel_requests=1, compute_type="bf16")
+    eng_plain = SttEngine(Settings(**base), model_name="tiny",
+                          random_init=True)
+    eng_spec = SttEngine(Settings(**base, draft_model="tiny", spec_gamma=3),
+                         model_name="tiny", random_init=True)
+    assert eng_spec.draft_params is not None
+
+    r_plain = eng_plain.transcribe_pcm16(pcm, sr, RequestOptions(language="en"))
+    r_spec = eng_spec.transcribe_pcm16(pcm, sr, RequestOptions(language="en"))
+    assert [r.text for r in r_spec] == [r.text for r in r_plain]
+    assert [r.speaker_id for r in r_spec] == [r.speaker_id for r in r_plain]
