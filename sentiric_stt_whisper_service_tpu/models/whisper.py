@@ -769,8 +769,11 @@ def decoder_apply(
                 dimension_numbers=(((4,), (2,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32,
             ).astype(hx.dtype)  # [B,Hp,2,T,2hd]
+            # (lane-half extraction via reshape+index — the sliced form
+            # miscompiles on XLA:TPU in the step paths; see decoder_step)
+            out6 = out5.reshape(B, hp, 2, T, 2, hd)
             sa = jnp.concatenate(
-                [out5[:, :, 0, :, :hd], out5[:, :, 1, :, hd:]], axis=-1
+                [out6[:, :, 0, :, 0], out6[:, :, 1, :, 1]], axis=-1
             )  # [B,Hp,T,2hd]
             sa = sa.transpose(0, 2, 1, 3).reshape(B, T, d)
         else:
@@ -912,8 +915,15 @@ def decoder_step(
             sa, _ = _attend(q2 * (scale * scale), k_cache, v_cache, self_mask)
             # [S,Hp,2,2hd]: head 0 in lanes [:hd] of row 0, head 1 in
             # [hd:] of row 1 (cross lanes are exact zeros of the pad).
+            # MISCOMPILE GUARD: the direct lane-half slice form
+            # (concat(sa[:,:,0,:hd], sa[:,:,1,hd:])) is MISCOMPILED by
+            # XLA:TPU — wrong odd-head values, diverging step logits
+            # (correct eagerly/on CPU, so CPU tests pass). Split the lane
+            # axis by reshape and index the (row, lane-half) diagonal
+            # instead (see ops/beam_attention.py, same bug).
+            sa6 = sa.reshape(S, h // 2, 2, 2, hd)
             sa = jnp.concatenate(
-                [sa[:, :, 0, :hd], sa[:, :, 1, hd:]], axis=-1
+                [sa6[:, :, 0, 0], sa6[:, :, 1, 1]], axis=-1
             ).reshape(S, 1, d)
         else:
             q = heads1(qp)[:, :, None, :]  # [S,H,1,hd]
@@ -1094,9 +1104,11 @@ def decoder_step_beam(
                 dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32,
             ).astype(cfg.dtype)  # [B, Hp, 2K, 2hd]
-            o5 = o.reshape(B, h // 2, 2, K, 2 * hd)
+            # (reshape+index lane-half extraction — the sliced form
+            # miscompiles on XLA:TPU; see decoder_step / beam_attention)
+            o6 = o.reshape(B, h // 2, 2, K, 2, hd)
             sa = (
-                jnp.stack([o5[:, :, 0, :, :hd], o5[:, :, 1, :, hd:]], axis=2)
+                jnp.stack([o6[:, :, 0, :, 0], o6[:, :, 1, :, 1]], axis=2)
                 .transpose(0, 3, 1, 2, 4)
                 .reshape(S, 1, d)
             )

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
+def _kernel(q_ref, k_ref, v_ref, anc_ref, ks_ref, vs_ref, o_ref, *,
+            scale, k_beams, n_rows):
     """One program per (batch item, head block): all heads of the block
     attend in one shot; the online-softmax recurrence runs over the K
     source slots so every in-kernel shape is a clean [Hb,R,C]/[Hb,R,hd]
@@ -43,7 +44,14 @@ def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
     the q block carries ``n_rows = 2·K`` zero-padded query rows per head
     pair ([q_h0|0] for beams 0..K-1, then [0|q_h1]) — both heads' scores
     come out of one slab read and the cross terms hit exact zeros.
-    Unpaired caches use ``n_rows = K``."""
+    Unpaired caches use ``n_rows = K``.
+
+    int8 slabs (``ks_ref``/``vs_ref`` per-row scales, [Hb, C] blocks):
+    the slab DMA moves HALF the bf16 bytes; the int8→bf16 convert is a
+    native VPU op (unlike float8, which Mosaic emulates and which
+    measured a 2× REGRESSION in this spot). Scales fold into the score
+    row ((q·k_c)·ks_c) and the softmax weight row (p_c·vs_c) — exact
+    per-row symmetric dequantization, same math as the XLA twin."""
     K = k_beams
     R = n_rows
     dt = k_ref.dtype
@@ -51,7 +59,7 @@ def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
     # path (_attend scales q in bf16 and casts softmax weights back).
     # A float8 slab converts to bf16 at the VMEM read; MXU operands are
     # never narrower than bf16.
-    if dt in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+    if dt in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
         dt = jnp.bfloat16
     q = (q_ref[0].astype(jnp.float32) * jnp.float32(scale)).astype(dt)
     Hb, _, hd = q.shape
@@ -64,16 +72,26 @@ def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hb, R, C]
-        anc = anc_ref[0, s]  # [Kd, C]
-        if R != K:  # paired: same ancestry for both head rows of a beam
-            anc = jnp.concatenate([anc, anc], axis=0)  # [2Kd, C]
+        if ks_ref is not None:
+            scores = scores * ks_ref[s][:, None, :]  # [Hb, 1, C]
+        # anc arrives with the row axis already matching R (the paired
+        # duplication happens in XLA, in the wrapper): an in-kernel
+        # sublane-dim concatenate of the [Kd, C] tile MIS-LOWERS on real
+        # TPU (odd rows read a garbage mask — wrong outputs for every
+        # odd head; CPU interpret mode lowers it fine, which is why the
+        # interpret-mode tests never caught it).
+        anc = anc_ref[0, s]  # [R, C]
         scores = jnp.where(anc[None] > 0, scores, NEG)
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(scores - m_new)  # masked cols: exp(NEG - m) == 0
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if vs_ref is not None:
+            pv_in = (p * vs_ref[s][:, None, :]).astype(dt)
+        else:
+            pv_in = p.astype(dt)
         pv = jax.lax.dot_general(
-            p.astype(dt), v_ref[s].astype(dt),  # [Hb, R, C] x [Hb, C, hd]
+            pv_in, v_ref[s].astype(dt),  # [Hb, R, C] x [Hb, C, hd]
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hb, R, hd]
@@ -87,13 +105,15 @@ def _kernel(q_ref, k_ref, v_ref, anc_ref, o_ref, *, scale, k_beams, n_rows):
 )
 def beam_attention(
     q: jnp.ndarray,  # [B*K, H, hd]
-    k: jnp.ndarray,  # [B*K, H, C, hd] bf16 — slot s of item b at b*K+s
+    k: jnp.ndarray,  # [B*K, H, C, hd] bf16/int8 — slot s of item b at b*K+s
     v: jnp.ndarray,  # [B*K, H, C, hd]
     anc: jnp.ndarray,  # [B, Kd, Ks, C] bool/float one-hot ancestry
     beam_size: int,
     scale: float = 1.0,  # score scale (applied to q, so hd**-0.5 total)
     interpret: bool = False,
     c_valid: int = 0,  # 0 = read the full cache axis
+    k_scale: jnp.ndarray | None = None,  # [B*K, Hk, C] f32 per-row scales
+    v_scale: jnp.ndarray | None = None,  # (int8 slabs only)
 ) -> jnp.ndarray:
     """Fused ancestry-masked beam attention. Returns [B*K, H, hd].
 
@@ -120,6 +140,11 @@ def beam_attention(
     B = BK // K
     paired = k.shape[-1] == 2 * hd
     anc_s = anc.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B, Ks, Kd, C]
+    if paired:
+        # Row axis must match the kernel's 2K query rows (same ancestry
+        # for both head halves of a beam) — duplicated HERE in XLA; see
+        # the kernel comment for why not in-kernel.
+        anc_s = jnp.concatenate([anc_s, anc_s], axis=2)  # [B, Ks, 2Kd, C]
 
     if paired:
         Hk = H // 2
@@ -143,25 +168,53 @@ def beam_attention(
 
     # Head-block size: big blocks amortize per-program overhead (the
     # (B, H) per-head grid measured 2.5× slower than (B, H//Hb)); cap so
-    # a double-buffered K/V block set stays well inside VMEM.
+    # a double-buffered K/V block set stays inside VMEM (v5e: 128 MB —
+    # SSTW_BEAM_VMEM_MB tunes the budget; 48 MB measured best, the old
+    # 8 MB cap degraded deep cache buckets to per-head programs).
+    import os
+
+    budget = int(os.environ.get("SSTW_BEAM_VMEM_MB", "48")) * 2**20
     Hb = Hk
-    while Hb > 1 and 2 * 2 * K * Hb * C * lane * k.dtype.itemsize > 8 * 2**20:
+    while Hb > 1 and 2 * 2 * K * Hb * C * lane * k.dtype.itemsize > budget:
         div = next(d for d in range(2, Hb + 1) if Hb % d == 0)
         Hb //= div
 
+    quant = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, Hb, rows, lane), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, Hb, C, lane), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, Hb, C, lane), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, rows, C), lambda b, h: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q_bh, k, v, anc_s]
+    if quant:
+        # Per-row dequant scales ride their own [BK, Hk, C] slab (C on
+        # lanes — broadcasts straight onto the [Hb, R, C] score tile).
+        in_specs += [
+            pl.BlockSpec((K, Hb, C), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Hb, C), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+        kern = functools.partial(_kernel, scale=scale, k_beams=K, n_rows=rows)
+    else:
+        kern = functools.partial(
+            lambda qr, kr, vr, ar, orf, *, scale, k_beams, n_rows: _kernel(
+                qr, kr, vr, ar, None, None, orf,
+                scale=scale, k_beams=k_beams, n_rows=n_rows,
+            ),
+            scale=scale, k_beams=K, n_rows=rows,
+        )
+
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, k_beams=K, n_rows=rows),
+        kern,
         grid=(B, Hk // Hb),
-        in_specs=[
-            pl.BlockSpec((1, Hb, rows, lane), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, Hb, C, lane), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, Hb, C, lane), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, K, C), lambda b, h: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, Hb, rows, lane), lambda b, h: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
@@ -173,13 +226,21 @@ def beam_attention(
             transcendentals=B * H * K * K * C,
         ),
         interpret=interpret,
-    )(q_bh, k, v, anc_s)
+    )(*args)
     if paired:
         # [B,Hk,2K,128]: beam kd's head-even output is row kd lanes [:hd],
-        # head-odd is row K+kd lanes [hd:]. Slices act on the small output.
-        o5 = out.reshape(B, Hk, 2, K, 2 * hd)
+        # head-odd is row K+kd lanes [hd:].
+        # MISCOMPILE GUARD: the obvious formulation — reshape to
+        # [B,Hk,2,K,2hd], stack(o5[:,:,0,:,:hd], o5[:,:,1,:,hd:]) — is
+        # MISCOMPILED by XLA:TPU (wrong odd-head values; the identical
+        # graph is correct eagerly, on CPU, and under interpret mode, so
+        # no test caught it — found by a hand ground-truth probe and
+        # bisected to jit(unpair) alone, with no Pallas involved).
+        # Splitting the lane axis with a reshape and INDEXING the
+        # (half, lane-half) diagonal compiles correctly.
+        o6 = out.reshape(B, Hk, 2, K, 2, hd)
         per_head = jnp.stack(
-            [o5[:, :, 0, :, :hd], o5[:, :, 1, :, hd:]], axis=2
+            [o6[:, :, 0, :, 0], o6[:, :, 1, :, 1]], axis=2
         )  # [B,Hk,2,K,hd]
         return (
             per_head.transpose(0, 3, 1, 2, 4).reshape(BK, H, hd)

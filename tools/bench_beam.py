@@ -77,6 +77,7 @@ def main():
         return decode_window_beam(
             cfg, p, xa_kv, tinit, len(sot), 0, ids, sup,
             beam_size=K, max_len=max_len, self_dtype=SELF_DTYPE,
+            cache_buckets=os.environ.get("BENCH_CACHE_BUCKETS", "1") == "1",
         )
 
     res = pipeline(params, audio)

@@ -42,6 +42,11 @@ MODEL = os.environ.get("BENCH_MODEL", "large-v3")
 B = int(os.environ.get("BENCH_BATCH", "24"))
 DECODE_TOKENS = int(os.environ.get("BENCH_TOKENS", "128"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+# Mirror bench.py's auto policy: f8 self-KV slab for quantized compute.
+_SC = os.environ.get("BENCH_SELF_CACHE", "auto").lower()
+SELF_DTYPE = (
+    jnp.float8_e4m3fn if _SC in ("auto", "f8", "fp8", "float8") else None
+)
 
 
 def timeit(fn, sync, iters=ITERS):
@@ -83,6 +88,7 @@ def main():
             return decode_window(
                 cfg, p, xa_kv, tinit, len(sot), 0, ids, sup,
                 jnp.float32(0.0), jax.random.key(1), max_len=max_len,
+                self_dtype=SELF_DTYPE,
             )
         return run
 
