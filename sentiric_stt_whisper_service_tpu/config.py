@@ -132,6 +132,12 @@ class Settings:
     spec_gamma: int = 4
     # Decode micro-batch size for the continuous batcher (per chip).
     max_batch_size: int = 8
+    # Beam gang window (ms): concurrent beam-search windows with the same
+    # shape class coalesce into ONE batched decode_window_beam call if
+    # they arrive within this window (runtime/gang.py) — the reference's
+    # default config is beam_size=5 (config.h:52), and a lone beam window
+    # at B=1 leaves the chip mostly idle. 0 disables gang batching.
+    gang_window_ms: int = 30
     # Mesh axes for weight sharding: "1" = single chip. e.g. "2x4" = dp=2, tp=4.
     mesh_shape: str = "1"
     # Weight/activation dtype on device.
@@ -207,6 +213,7 @@ def load_settings() -> Settings:
     s.grpc_key_path = _env("KEY_PATH", s.grpc_key_path)
 
     s.max_batch_size = _env_int("MAX_BATCH_SIZE", s.max_batch_size)
+    s.gang_window_ms = _env_int("GANG_WINDOW_MS", s.gang_window_ms)
     s.mesh_shape = _env("MESH_SHAPE", s.mesh_shape)
     s.dtype = _env("DTYPE", s.dtype)
     return s

@@ -32,9 +32,33 @@ import numpy as np
 from .whisper import (
     WhisperConfig,
     decoder_apply,
+    decoder_step,
     init_kv_cache,
     pairing_ok,
 )
+
+
+def cvalid_buckets(cache_len: int, granularity: int | None = None) -> list:
+    """Static read-bucket boundaries for the self-KV slab: a decode step at
+    position p only needs rows ≤ p, so loop callers lax.switch between a
+    few c_valid slices instead of streaming the whole slab every step.
+
+    Granularity via SSTW_CVALID_ROWS. DEFAULT 0 = OFF for the greedy
+    loop: measured a clear NEGATIVE on chip (tools/bench_cvalid_greedy.py,
+    large-v3 B=56 int8+f8: 16.1 → 20.0 ms/step at 64 rows, 23.6 at 32) —
+    the lax.switch boundary forces the carried KV slab through branch
+    I/O copies that cost far more than the read savings. The BEAM path
+    keeps its own 128-row bucketing inside decoder_step_beam's kernel
+    dispatch (models/beam.py), where the slab rides the while_loop carry
+    and only the kernel's BlockSpec window changes."""
+    import os
+
+    g = granularity if granularity is not None else int(
+        os.environ.get("SSTW_CVALID_ROWS", "0")
+    )
+    if g <= 0 or g >= cache_len:
+        return [cache_len]
+    return list(range(g, cache_len, g)) + [cache_len]
 
 NEG_INF = jnp.float32(-1e30)
 
@@ -398,12 +422,26 @@ def _decode_window_impl(
             tok_lps, tok_lp[:, None], pos, axis=1
         )
         new_done = done | (next_tok == ids.eot)
-        # run the decoder for the token just written to get next logits
-        step_logits, kv, _ = decoder_apply(
-            cfg, params, jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1),
-            pos, kv, xa_kv,
-        )
-        return tokens, kv, pos + 1, new_done, sum_lp, tok_lps, key, step_logits[:, 0]
+        # Run the decoder for the token just written to get next logits.
+        # Bucketed self-slab reads (exact: rows ≥ pos are masked anyway) —
+        # early steps stream only a c_valid prefix of the cache rows.
+        tok1 = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)[:, 0]
+        buckets = cvalid_buckets(cache_len)
+        if len(buckets) > 1:
+            def mk_branch(cb):
+                def branch(tok_, pos_, kv_):
+                    return decoder_step(
+                        cfg, params, tok_, pos_, kv_, xa_kv, c_valid=cb
+                    )
+                return branch
+
+            idx = jnp.sum(pos >= jnp.asarray(buckets[:-1]))
+            step_logits, kv = jax.lax.switch(
+                idx, [mk_branch(cb) for cb in buckets], tok1, pos, kv
+            )
+        else:
+            step_logits, kv = decoder_step(cfg, params, tok1, pos, kv, xa_kv)
+        return tokens, kv, pos + 1, new_done, sum_lp, tok_lps, key, step_logits
 
     def cond_fn(state):
         pos, done = state[2], state[3]

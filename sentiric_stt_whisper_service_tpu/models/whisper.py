@@ -820,6 +820,7 @@ def decoder_step(
     kv_cache: dict,  # [L, S, H, cache_len, hd] (position-major)
     xa_kv: dict,  # [L, S, H, hd, 1500] KF (+ scales when int8)
     ring_row: Optional[jnp.ndarray] = None,  # scalar: ring write row
+    c_valid: int = 0,
 ):
     """Single decode step with PER-SLOT positions — the continuous
     batcher's core op (SURVEY.md §7 hard-part #1): slots at different
@@ -835,6 +836,11 @@ def decoder_step(
       * ``pos`` vector without ``ring_row``: per-slot scatter (slow;
         kept as the general fallback).
 
+    ``c_valid`` (static): read only the first ``c_valid`` cache rows —
+    exact while every slot's pos < c_valid (rows ≥ pos are masked anyway);
+    decode_window lax.switches over row buckets so early steps don't
+    stream the whole slab. Ignored in ring mode (the valid arc wraps).
+
     Returns (logits [S, V] fp32, new_kv_cache)."""
     dec = params["decoder"]
     S = tokens.shape[0]
@@ -849,7 +855,8 @@ def decoder_step(
     x = x[:, None, :].astype(cfg.dtype)  # [S, 1, d]
 
     cache_len = kv_cache["k"].shape[3]
-    kpos = jnp.arange(cache_len)[None, :]
+    cb = c_valid if (c_valid and c_valid < cache_len and ring_row is None) else 0
+    kpos = jnp.arange(cb or cache_len)[None, :]
     if ring_row is not None:
         # Ring validity: the arc of pos+1 rows ending at ring_row.
         ages = (ring_row - kpos) % cache_len  # [1, C]
@@ -911,6 +918,9 @@ def decoder_step(
             v_all = write_slot(v_all, vp.reshape(S, h // 2, 2 * hd), li)
             k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
             v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            if cb:  # bucketed read: stream only the first cb rows
+                k_cache = k_cache[:, :, :cb]
+                v_cache = v_cache[:, :, :cb]
             q2 = _pair_queries(qp.reshape(S, h // 2, 2, hd))  # [S,Hp,2,2hd]
             sa, _ = _attend(q2 * (scale * scale), k_cache, v_cache, self_mask)
             # [S,Hp,2,2hd]: head 0 in lanes [:hd] of row 0, head 1 in
@@ -931,6 +941,9 @@ def decoder_step(
             v_all = write_slot(v_all, heads1(vp), li)
             k_cache = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
             v_cache = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            if cb:  # bucketed read: stream only the first cb rows
+                k_cache = k_cache[:, :, :cb]
+                v_cache = v_cache[:, :, :cb]
             sa, _ = _attend(q * (scale * scale), k_cache, v_cache, self_mask)
             sa = sa.transpose(0, 2, 1, 3).reshape(S, 1, d)
         hx = hx + dense(sa.astype(hx.dtype), layer["attn"]["o"])

@@ -248,6 +248,7 @@ class SttEngine:
         self._rng_lock = threading.Lock()
         self._batchers: dict[int, "ContinuousBatcher"] = {}
         self._batcher_lock = threading.Lock()
+        self._beam_gang = None  # lazy (runtime/gang.py)
 
     def _get_batcher(self, xa_ctx: Optional[int] = None):
         """Shared continuous batcher for greedy decodes, one pool per
@@ -271,6 +272,28 @@ class SttEngine:
                     self_dtype=self.self_dtype,
                 )
             return self._batchers[xa_ctx]
+
+    def _get_beam_gang(self):
+        """Shared gang scheduler for beam decodes (runtime/gang.py):
+        concurrent same-shape beam windows coalesce into one batched
+        call. Enabled when the engine serves concurrent requests and
+        gang_window_ms > 0."""
+        if (
+            self.settings.parallel_requests <= 1
+            or self.settings.gang_window_ms <= 0
+        ):
+            return None
+        with self._batcher_lock:
+            if self._beam_gang is None:
+                from .gang import BeamGang
+
+                self._beam_gang = BeamGang(
+                    self.cfg, self.params, self.ids, self.suppress_mask,
+                    window_ms=self.settings.gang_window_ms,
+                    max_gang=max(2, self.settings.max_batch_size),
+                    self_dtype=self.self_dtype,
+                )
+            return self._beam_gang
 
     # ------------------------------------------------------------------
     def warmup(self) -> float:
@@ -313,6 +336,9 @@ class SttEngine:
             for b in self._batchers.values():
                 b.shutdown()
             self._batchers.clear()
+            if self._beam_gang is not None:
+                self._beam_gang.shutdown()
+                self._beam_gang = None
 
     def is_ready(self) -> bool:
         return self._ready
@@ -580,6 +606,26 @@ class SttEngine:
                 token_logprobs=jnp.asarray(tok_lps),
             )
         if temperature <= 0.0 and beam_size > 1:
+            gang = self._get_beam_gang()
+            if gang is not None:
+                from .gang import GangKey
+
+                fut = gang.submit(
+                    xa_kv,
+                    np.asarray(tinit)[0],
+                    GangKey(
+                        sample_begin=sample_begin, sot_index=sot_index,
+                        beam_size=beam_size, max_len=max_len,
+                        prefill_len=prefill_len, xa_f=xa_f,
+                        use_timestamps=True,
+                    ),
+                )
+                return fut.result(
+                    timeout=max(
+                        60.0,
+                        self.settings.request_queue_timeout_ms / 1000.0 * 120,
+                    )
+                )
             return decode_window_beam(
                 self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
                 self.ids, self.suppress_mask, beam_size=beam_size,
