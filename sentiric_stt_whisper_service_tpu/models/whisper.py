@@ -390,11 +390,20 @@ def encoder_apply(cfg: WhisperConfig, params: Params, mel: jnp.ndarray) -> jnp.n
 
     x = x + enc["pos"][None, : x.shape[1]].astype(x.dtype)
 
+    # Sequence parallelism (SURVEY.md §5.7): under a mesh with an "sp"
+    # axis the residual stream is sharded [dp, sp, -] so LN/MLP/
+    # projections compute on a T/sp shard per device; GSPMD all-gathers
+    # K/V for the full-window attention. No-op on dp×tp / single-chip.
+    from ..parallel.mesh import seq_constraint
+
+    x = seq_constraint(x)
+
     def block(carry, layer):
         h = carry
         h = h + attention(layer_norm(h, layer["attn_ln"]), layer["attn"], cfg.n_audio_head)
+        h = seq_constraint(h)
         h = h + mlp(layer_norm(h, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
-        return h, None
+        return seq_constraint(h), None
 
     x, _ = jax.lax.scan(block, x, enc["blocks"])
     return layer_norm(x, enc["ln_post"])

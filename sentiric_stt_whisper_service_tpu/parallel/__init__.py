@@ -3,6 +3,7 @@ from .mesh import (  # noqa: F401
     kv_cache_shardings,
     make_mesh,
     param_shardings,
+    seq_constraint,
     shard_params,
     xa_kv_shardings,
 )

@@ -30,23 +30,55 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(shape: str = "1", devices=None) -> Mesh:
-    """Create a (dp, tp) mesh. ``shape``: "1", "4", "2x4" (dp x tp), or
-    "auto" (all devices on dp)."""
+    """Create a (dp, tp) or (dp, tp, sp) mesh. ``shape``: "1", "4",
+    "2x4" (dp x tp), "2x2x2" (dp x tp x sp — sp is the encoder
+    sequence-parallel axis, SURVEY.md §5.7), or "auto" (all devices
+    on dp)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    sp = None
     if shape in ("1", "", None):
         dp, tp = 1, 1
         devices = devices[:1]
     elif shape == "auto":
         dp, tp = n, 1
     elif "x" in shape:
-        dp, tp = (int(x) for x in shape.split("x"))
+        dims = [int(x) for x in shape.split("x")]
+        if len(dims) == 3:
+            dp, tp, sp = dims
+        else:
+            dp, tp = dims
     else:
         dp, tp = 1, int(shape)
-    if dp * tp > n:
-        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}")
-    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    total = dp * tp * (sp or 1)
+    if total > n:
+        raise ValueError(f"mesh {shape} needs {total} devices, have {n}")
+    if sp:
+        arr = np.asarray(devices[:total]).reshape(dp, tp, sp)
+        return Mesh(arr, ("dp", "tp", "sp"))
+    arr = np.asarray(devices[:total]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
+
+
+def seq_constraint(x):
+    """Constrain [B, T, ...] activations to (dp, sp, ...) when the ambient
+    mesh carries a sequence-parallel axis; identity otherwise.
+
+    The encoder residual stream calls this between blocks
+    (models/whisper.encoder_apply): LN / MLP / projections then compute on
+    a T/sp shard per device and GSPMD inserts the attention all-gather —
+    the honest TPU analog of long-context sharding for this workload
+    (SURVEY.md §5.7: batched 30 s windows need no ring attention)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:  # noqa: BLE001 — no ambient mesh machinery
+        return x
+    names = getattr(mesh, "axis_names", ()) or ()
+    if "sp" not in names:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, P("dp" if "dp" in names else None, "sp")
+    )
 
 
 def _spec_for_path(path: str, ndim: int) -> P:

@@ -43,6 +43,7 @@ def test_mesh_shapes():
     assert make_mesh("1").shape == {"dp": 1, "tp": 1}
     assert make_mesh("2x4").shape == {"dp": 2, "tp": 4}
     assert make_mesh("auto").shape == {"dp": 8, "tp": 1}
+    assert make_mesh("2x2x2").shape == {"dp": 2, "tp": 2, "sp": 2}
     with pytest.raises(ValueError):
         make_mesh("4x4")
 
@@ -61,8 +62,11 @@ def test_param_sharding_specs(setup):
     assert blocks["attn_ln"]["g"].spec == jax.sharding.PartitionSpec()
 
 
-@pytest.mark.parametrize("mesh_shape", ["2x4", "4x2", "1x8"])
+@pytest.mark.parametrize("mesh_shape", ["2x4", "4x2", "1x8", "2x2x2", "1x1x8"])
 def test_sharded_encoder_matches_single(setup, mesh_shape):
+    """dp/tp meshes plus dp×tp×sp: the sp axis shards the encoder's
+    residual-stream time dimension (parallel.seq_constraint; SURVEY.md
+    §5.7) — numerics must be identical to single-device."""
     cfg, params, mel = setup
     want = np.asarray(encoder_apply(cfg, params, mel))
 
