@@ -2,8 +2,9 @@
 
 Times the EXACT `_attend_xa` contraction used by decoder_step_beam
 (whisper.py:1155-1166) at beam serving shape (q [B,H,K,hd] against the
-shared KF slab) over a chained scan, for: int8, int4-values-in-int8, and
-native int4. Answers whether the pre-loop `unpack_xa_kv` should target
+shared KF slab) over a chained scan, for: int8, int4-values-in-int8,
+native int4, and the head-paired block-diagonal form. BENCH_BEAM=1
+measures the GREEDY decode shape (M=1 queries) instead. Answers whether the pre-loop `unpack_xa_kv` should target
 int8 instead of native int4 on this chip. One JSON line: ms per
 32-layer-equivalent step + effective GB/s (L layers measured, scaled).
 """
