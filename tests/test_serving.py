@@ -221,6 +221,9 @@ def test_grpc_unary(grpc_addr, wav_bytes):
         )
         assert isinstance(resp.transcription, str)
         assert len(resp.speaker_vec) in (0, 8)
+        # duration is audio-derived and filled even when every segment is
+        # quality-gated out (1 s of audio in wav_bytes).
+        assert resp.duration == pytest.approx(1.0, abs=0.01)
 
 
 def test_grpc_stream_partials_and_eos(grpc_addr, wav_bytes):
