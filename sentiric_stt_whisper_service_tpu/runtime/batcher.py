@@ -62,6 +62,10 @@ class BatchState(NamedTuple):
     tokens: jnp.ndarray  # [S, ctx] int32
     pos: jnp.ndarray  # [S] int32
     done: jnp.ndarray  # [S] bool
+    # True when the slot's EOT was FORCED by hitting max_len (the one-shot
+    # decode_window loop would simply have stopped there: no EOT token is
+    # sampled, so neither its logprob nor a +1 in the avg denominator).
+    forced_eot: jnp.ndarray  # [S] bool
     sample_begin: jnp.ndarray  # [S] int32
     max_len: jnp.ndarray  # [S] int32
     sum_lp: jnp.ndarray  # [S] fp32
@@ -163,6 +167,7 @@ class ContinuousBatcher:
             tokens=jnp.full((S, cfg.n_text_ctx), self.ids.eot, jnp.int32),
             pos=jnp.zeros((S,), jnp.int32),
             done=jnp.ones((S,), bool),  # empty slots count as done
+            forced_eot=jnp.zeros((S,), bool),
             sample_begin=jnp.zeros((S,), jnp.int32),
             max_len=jnp.zeros((S,), jnp.int32),
             sum_lp=jnp.zeros((S,), jnp.float32),
@@ -368,12 +373,17 @@ class ContinuousBatcher:
                 seq = seq[: eots[0]]
             lps = tok_lps[sb : sb + len(seq)]
             sum_lp = float(np.asarray(self._state.sum_lp[slot]))
+            # Denominator matches decode_window (sampling.py:468-474): a
+            # sampled EOT counts (+1); a max_len-forced EOT does not (the
+            # one-shot loop would just have stopped — no EOT was sampled).
+            forced = bool(np.asarray(self._state.forced_eot[slot]))
+            n_sampled = max(len(seq) + (0 if forced else 1), 1)
             req.future.set_result(
                 {
                     "tokens": seq,
                     "token_logprobs": lps,
                     "sum_logprob": sum_lp,
-                    "avg_logprob": sum_lp / (len(seq) + 1),
+                    "avg_logprob": sum_lp / n_sampled,
                     "no_speech_prob": float(
                         np.asarray(self._state.no_speech[slot])
                     ),
@@ -509,6 +519,7 @@ def _insert_slots_op(
         tokens=tokens,
         pos=state.pos.at[slots].set(n_prompts),
         done=state.done.at[slots].set(False),
+        forced_eot=state.forced_eot.at[slots].set(False),
         sample_begin=state.sample_begin.at[slots].set(n_prompts),
         max_len=state.max_len.at[slots].set(max_lens),
         sum_lp=state.sum_lp.at[slots].set(0.0),
@@ -546,8 +557,12 @@ def _step_chunk_op(cfg, ids, n_steps, params, suppress_mask, state):
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
 
         hit_max = state.pos >= jnp.minimum(state.max_len, cfg.n_text_ctx - 1)
+        forced = hit_max & ~state.done
         next_tok = jnp.where(state.done | hit_max, ids.eot, next_tok)
-        tok_lp = jnp.where(state.done, 0.0, tok_lp)
+        # A forced EOT was never sampled: its logprob (still the pre-
+        # override argmax token's) must not enter sum_lp, exactly like the
+        # one-shot loop that simply stops at max_len (sampling.py:446-448).
+        tok_lp = jnp.where(state.done | forced, 0.0, tok_lp)
 
         write_pos = jnp.minimum(state.pos, cfg.n_text_ctx - 1)
         tokens = jax.vmap(
@@ -570,6 +585,7 @@ def _step_chunk_op(cfg, ids, n_steps, params, suppress_mask, state):
             tokens=tokens,
             pos=jnp.where(state.done, state.pos, state.pos + 1),
             done=new_done,
+            forced_eot=state.forced_eot | forced,
             sample_begin=state.sample_begin,
             max_len=state.max_len,
             sum_lp=sum_lp,

@@ -71,6 +71,45 @@ def test_matches_oneshot_greedy(setup, batcher):
     )
     lps = np.asarray(want.token_logprobs[0])[len(sot) : len(sot) + len(want_seq)]
     np.testing.assert_allclose(got["token_logprobs"], lps, atol=1e-4)
+    assert got["sum_logprob"] == pytest.approx(
+        float(want.sum_logprobs[0]), abs=1e-3
+    )
+    assert got["avg_logprob"] == pytest.approx(
+        float(want.avg_logprobs[0]), abs=1e-3
+    )
+
+
+def test_truncated_logprobs_match_oneshot(setup, batcher):
+    """A max_len-truncated decode must report the same sum/avg logprob as
+    decode_window: the batcher's forced EOT is synthetic — its (pre-
+    override argmax) logprob must not leak into sum_lp, and the avg
+    denominator must not count it (VERDICT r2 weak #6)."""
+    cfg, params, tok, ids, sup = setup
+    window = make_window(0)
+    sot = tok.sot_sequence("en")
+    n_tok = 4  # far below any natural EOT on random weights
+
+    fut = batcher.submit(window, sot, 0, max_tokens=n_tok)
+    got = fut.result(timeout=120)
+
+    mel = log_mel_spectrogram(window[None], n_mels=cfg.n_mels)
+    xa_kv = encode_xa_kv(cfg, params, mel)
+    tinit = np.full((1, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[0, : len(sot)] = sot
+    want = decode_window(
+        cfg, params, xa_kv, jnp.asarray(tinit), len(sot), 0, ids, sup,
+        jnp.float32(0.0), jax.random.key(0), max_len=len(sot) + n_tok,
+    )
+    want_seq = np.asarray(want.tokens[0])[len(sot) : int(want.lengths[0])]
+    want_seq = want_seq[want_seq != ids.eot]
+    assert len(want_seq) == n_tok  # genuinely truncated, no sampled EOT
+    np.testing.assert_array_equal(got["tokens"], want_seq)
+    assert got["sum_logprob"] == pytest.approx(
+        float(want.sum_logprobs[0]), abs=1e-3
+    )
+    assert got["avg_logprob"] == pytest.approx(
+        float(want.avg_logprobs[0]), abs=1e-3
+    )
 
 
 def test_concurrent_submissions(setup, batcher):
