@@ -138,6 +138,12 @@ class Settings:
     # default config is beam_size=5 (config.h:52), and a lone beam window
     # at B=1 leaves the chip mostly idle. 0 disables gang batching.
     gang_window_ms: int = 30
+    # Self-KV read-bucket granularity for the one-shot greedy loop
+    # (models/sampling.cvalid_buckets). 0 = off (measured faster on chip,
+    # tools/bench_cvalid_greedy.py). Resolved ONCE here at startup —
+    # changing the env on a live process has no effect (the value is a
+    # static compile-time argument of the decode executable).
+    cvalid_rows: int = 0
     # Mesh axes for weight sharding: "1" = single chip. e.g. "2x4" = dp=2, tp=4.
     mesh_shape: str = "1"
     # Weight/activation dtype on device.
@@ -212,6 +218,9 @@ def load_settings() -> Settings:
     s.grpc_cert_path = _env("CERT_PATH", s.grpc_cert_path)
     s.grpc_key_path = _env("KEY_PATH", s.grpc_key_path)
 
+    # Legacy unprefixed knob kept for the bench harnesses; prefixed wins.
+    s.cvalid_rows = int(os.environ.get("SSTW_CVALID_ROWS", s.cvalid_rows))
+    s.cvalid_rows = _env_int("CVALID_ROWS", s.cvalid_rows)
     s.max_batch_size = _env_int("MAX_BATCH_SIZE", s.max_batch_size)
     s.gang_window_ms = _env_int("GANG_WINDOW_MS", s.gang_window_ms)
     s.mesh_shape = _env("MESH_SHAPE", s.mesh_shape)

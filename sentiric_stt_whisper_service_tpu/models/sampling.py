@@ -43,7 +43,11 @@ def cvalid_buckets(cache_len: int, granularity: int | None = None) -> list:
     position p only needs rows ≤ p, so loop callers lax.switch between a
     few c_valid slices instead of streaming the whole slab every step.
 
-    Granularity via SSTW_CVALID_ROWS. DEFAULT 0 = OFF for the greedy
+    Granularity: explicit ``granularity`` arg (the engine passes
+    ``Settings.cvalid_rows``, resolved ONCE at load_settings — the value
+    is fixed per process; toggling the env on a live server has no
+    effect), falling back to SSTW_CVALID_ROWS for direct callers
+    (tests/benches). DEFAULT 0 = OFF for the greedy
     loop: measured a clear NEGATIVE on chip (tools/bench_cvalid_greedy.py,
     large-v3 B=56 int8+f8: 16.1 → 20.0 ms/step at 64 rows, 23.6 at 32) —
     the lax.switch boundary forces the carried KV slab through branch
@@ -257,6 +261,7 @@ def decode_window_best_of(
     cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
     suppress_mask, temperature, rng, best_of: int = 5, max_len=None,
     use_timestamps: bool = True, prefill_len=None, self_dtype=None,
+    cvalid_rows=None,
 ) -> "DecodeResult":
     """best_of independent samples per item (temperature > 0), winner by avg
     logprob — openai-whisper's n_group sampling, batched as [B*G]."""
@@ -270,7 +275,7 @@ def decode_window_best_of(
         cfg, params, xa_kv_g, tiled, sample_begin, sot_index, ids,
         suppress_mask, temperature, rng, max_len=max_len,
         use_timestamps=use_timestamps, prefill_len=prefill_len,
-        self_dtype=self_dtype,
+        self_dtype=self_dtype, cvalid_rows=cvalid_rows,
     )
     best = jnp.argmax(res.avg_logprobs.reshape(B, G), axis=1)
     sel = jnp.arange(B) * G + best
@@ -299,6 +304,7 @@ def decode_window(
     use_timestamps: bool = True,
     prefill_len: Optional[int] = None,
     self_dtype=None,
+    cvalid_rows: Optional[int] = None,
 ) -> DecodeResult:
     """Decode one batch of 30 s windows to EOT, fully on device.
 
@@ -319,7 +325,7 @@ def decode_window(
         cfg, params, xa_kv, tokens_init,
         jnp.asarray(sample_begin, jnp.int32), jnp.asarray(sot_index, jnp.int32),
         ids, suppress_mask, temperature, rng, max_len, use_timestamps,
-        prefill_len, self_dtype,
+        prefill_len, self_dtype, cvalid_rows,
     )
 
 
@@ -327,6 +333,7 @@ def decode_window(
     jax.jit,
     static_argnames=(
         "cfg", "ids", "max_len", "use_timestamps", "prefill_len", "self_dtype",
+        "cvalid_rows",
     ),
 )
 def _decode_window_impl(
@@ -344,6 +351,7 @@ def _decode_window_impl(
     use_timestamps: bool,
     prefill_len: int,
     self_dtype=None,
+    cvalid_rows: Optional[int] = None,
 ) -> DecodeResult:
     from ..ops.quant import unpack_xa_kv
 
@@ -426,7 +434,7 @@ def _decode_window_impl(
         # Bucketed self-slab reads (exact: rows ≥ pos are masked anyway) —
         # early steps stream only a c_valid prefix of the cache rows.
         tok1 = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)[:, 0]
-        buckets = cvalid_buckets(cache_len)
+        buckets = cvalid_buckets(cache_len, cvalid_rows)
         if len(buckets) > 1:
             def mk_branch(cb):
                 def branch(tok_, pos_, kv_):

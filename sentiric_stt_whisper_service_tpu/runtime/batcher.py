@@ -226,6 +226,15 @@ class ContinuousBatcher:
         self._wake.set()
         return fut
 
+    def is_idle(self) -> bool:
+        """True when no slot is occupied and nothing is queued — a new
+        request would decode alone (the engine's cue to prefer the
+        speculative path over batcher admission when a draft model is
+        configured). Advisory: racy by nature, never load-bearing."""
+        return self._queue.empty() and all(
+            r is None for r in self._slot_req
+        )
+
     def shutdown(self):
         self._stop.set()
         self._wake.set()
@@ -288,7 +297,14 @@ class ContinuousBatcher:
                 for j, (_, r) in enumerate(raws):
                     w = np.asarray(r.audio, np.float32).reshape(-1)[:n_crop]
                     audio[j, : w.shape[0]] = w
-                parts.append(self._encode(audio))
+                enc = self._encode(audio)
+                parts.append(enc)
+                # Stash each raw request's cross-KV slice so the harvest
+                # can return it — the engine reuses it for the DTW
+                # timestamp pass and any fallback-ladder re-decode
+                # instead of encoding the window a second time.
+                for j, (_, r) in enumerate(raws):
+                    r.xa_kv = {k: v[:, j : j + 1] for k, v in enc.items()}
             parts.extend(r.xa_kv for _, r in encs)
             ordered = raws + encs
             N = len(ordered)
@@ -387,6 +403,10 @@ class ContinuousBatcher:
                     "no_speech_prob": float(
                         np.asarray(self._state.no_speech[slot])
                     ),
+                    # Cross-KV of this window ([L,1,...] leaves; for raw-
+                    # audio submissions, a slice of the tick's batched
+                    # encode) — callers reuse it downstream.
+                    "xa_kv": req.xa_kv,
                 }
             )
 

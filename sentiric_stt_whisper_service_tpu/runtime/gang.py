@@ -75,6 +75,7 @@ class BeamGang:
         window_ms: int = 30,
         max_gang: int = 8,
         self_dtype=None,
+        others_hint=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -83,6 +84,12 @@ class BeamGang:
         self.window_s = max(0.0, window_ms / 1000.0)
         self.max_gang = max(1, max_gang)
         self.self_dtype = self_dtype
+        # Optional callable → number of requests currently inside the beam
+        # decode path (the engine's in-flight counter). When nobody beyond
+        # the collected gang is in flight, the timed collection wait is
+        # skipped: a lone long-form request would otherwise pay
+        # +window_ms of pure idle per 30 s window.
+        self.others_hint = others_hint
         self._q: "queue.Queue[Optional[_Item]]" = queue.Queue()
         self._pending: list[_Item] = []  # items deferred by a key mismatch
         self._stop = threading.Event()
@@ -106,6 +113,25 @@ class BeamGang:
         self._stop.set()
         self._q.put(None)
         self._worker.join(timeout=5.0)
+        # Backstop: if the worker exited (or died) with items still queued
+        # or deferred, reject them — callers blocked in fut.result() must
+        # never hang on shutdown (the same orphaned-future class the
+        # in-gang handler guards against, on the shutdown path).
+        self._drain_unresolved(RuntimeError("beam gang shut down"))
+
+    def _drain_unresolved(self, exc: Exception):
+        leftovers = list(self._pending)
+        self._pending = []
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if it is not None:
+                leftovers.append(it)
+        for it in leftovers:
+            if not it.future.done():
+                it.future.set_exception(exc)
 
     # ------------------------------------------------------------------
     def _collect_gang(self, first: _Item) -> list[_Item]:
@@ -121,6 +147,24 @@ class BeamGang:
             else:
                 keep.append(it)
         self._pending = keep
+        # Zero-cost drain of whatever is already queued.
+        while len(gang) < self.max_gang:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:  # shutdown sentinel
+                self._q.put(None)
+                return gang
+            if item.key == first.key:
+                gang.append(item)
+            else:
+                self._pending.append(item)
+        # Timed wait only when another beam request could still join:
+        # the engine's in-flight hint says someone beyond this gang is
+        # mid-encode / between windows.
+        if self.others_hint is not None and self.others_hint() <= len(gang):
+            return gang
         deadline = time.monotonic() + self.window_s
         while len(gang) < self.max_gang:
             timeout = deadline - time.monotonic()
@@ -146,42 +190,66 @@ class BeamGang:
         return item
 
     def _run(self):
-        while not self._stop.is_set():
-            item = self._next_item()
-            if item is None:
-                break
-            gang = self._collect_gang(item)
-            try:
-                res = self._decode(gang)
-                for i, it in enumerate(gang):
-                    it.future.set_result(
-                        DecodeResult(
-                            tokens=res.tokens[i : i + 1],
-                            lengths=res.lengths[i : i + 1],
-                            sum_logprobs=res.sum_logprobs[i : i + 1],
-                            avg_logprobs=res.avg_logprobs[i : i + 1],
-                            no_speech_probs=res.no_speech_probs[i : i + 1],
-                            token_logprobs=res.token_logprobs[i : i + 1],
-                        )
+        try:
+            while not self._stop.is_set():
+                item = self._next_item()
+                if item is None:
+                    break
+                gang = self._collect_gang(item)
+                self._resolve(gang)
+        finally:
+            # Worker exit (sentinel, _stop, or a crash) must not orphan
+            # deferred/queued items.
+            self._drain_unresolved(RuntimeError("beam gang worker exited"))
+
+    def _resolve(self, gang: list[_Item]):
+        try:
+            res = self._decode(gang)
+            for i, it in enumerate(gang):
+                it.future.set_result(
+                    DecodeResult(
+                        tokens=res.tokens[i : i + 1],
+                        lengths=res.lengths[i : i + 1],
+                        sum_logprobs=res.sum_logprobs[i : i + 1],
+                        avg_logprobs=res.avg_logprobs[i : i + 1],
+                        no_speech_probs=res.no_speech_probs[i : i + 1],
+                        token_logprobs=res.token_logprobs[i : i + 1],
                     )
-            except Exception as e:  # noqa: BLE001 — resolve EVERY future
-                for it in gang:
-                    if not it.future.done():
-                        it.future.set_exception(e)
+                )
+        except Exception as e:  # noqa: BLE001 — resolve EVERY future
+            for it in gang:
+                if not it.future.done():
+                    it.future.set_exception(e)
+
+    def batch_bucket(self, n: int) -> int:
+        """Static batch-shape bucket: next power of two ≥ n, capped at
+        max_gang. Every distinct gang size would otherwise be its own
+        XLA shape class — the first time two requests coalesced, both
+        blocked on a fresh multi-second compile at serve time. Buckets
+        bound the compiled set to {1, 2, 4, ..., max_gang}."""
+        b = 1
+        while b < min(n, self.max_gang):
+            b *= 2
+        return b
 
     def _decode(self, gang: list[_Item]) -> DecodeResult:
         key = gang[0].key
-        if len(gang) == 1:
+        # Pad to the batch bucket with copies of member 0 — per-window
+        # beams are independent, so padding rows never affect real rows;
+        # _resolve slices only the first len(gang) rows.
+        pad = self.batch_bucket(len(gang)) - len(gang)
+        items = list(gang) + [gang[0]] * pad
+        if len(items) == 1:
             xa_kv = gang[0].xa_kv
         else:
             # Batch-axis concat of the per-window cross-KV dicts (leaves
             # are [L, 1, ...]; int8/int4 scale leaves concat the same way).
             names = gang[0].xa_kv.keys()
             xa_kv = {
-                n: jnp.concatenate([it.xa_kv[n] for it in gang], axis=1)
+                n: jnp.concatenate([it.xa_kv[n] for it in items], axis=1)
                 for n in names
             }
-        tinit = jnp.asarray(np.stack([it.tokens_row for it in gang]))
+        tinit = jnp.asarray(np.stack([it.tokens_row for it in items]))
         return decode_window_beam(
             self.cfg, self.params, xa_kv, tinit,
             key.sample_begin, key.sot_index, self.ids, self.suppress_mask,

@@ -94,6 +94,136 @@ def test_gang_matches_solo_decode(stack):
         gang.shutdown()
 
 
+def test_gang_pads_to_batch_bucket(stack, monkeypatch):
+    """A gang of 3 decodes at the power-of-two bucket batch (4): every
+    distinct gang size would otherwise be a fresh XLA shape class that
+    compiles at serve time (ADVICE r2 medium). Results of the real
+    members are unaffected by the padding rows."""
+    import sentiric_stt_whisper_service_tpu.runtime.gang as gang_mod
+
+    cfg, params, ids, sup, sot = stack
+    batches = []
+    orig = gang_mod.decode_window_beam
+
+    def spy(cfg_, params_, xa_kv, tinit, *a, **kw):
+        batches.append(int(tinit.shape[0]))
+        return orig(cfg_, params_, xa_kv, tinit, *a, **kw)
+
+    monkeypatch.setattr(gang_mod, "decode_window_beam", spy)
+    gang = BeamGang(cfg, params, ids, sup, window_ms=300, max_gang=8)
+    try:
+        ctx = cfg.n_text_ctx
+        rows, xas = [], []
+        for i in range(3):
+            row = np.full((ctx,), ids.eot, np.int32)
+            row[: len(sot)] = sot
+            rows.append(row)
+            xas.append(_window(cfg, params, seed=30 + i))
+        key = GangKey(
+            sample_begin=len(sot), sot_index=0, beam_size=3,
+            max_len=len(sot) + 16, prefill_len=8,
+            xa_f=xas[0]["k"].shape[-1], use_timestamps=True,
+        )
+        futs = [gang.submit(xas[i], rows[i], key) for i in range(3)]
+        results = [f.result(timeout=300) for f in futs]
+        assert batches and max(batches) == 4  # 3 members → bucket 4
+        solo = decode_window_beam(
+            cfg, params, xas[1], jnp.asarray(rows[1][None]),
+            key.sample_begin, key.sot_index, ids, sup,
+            beam_size=key.beam_size, max_len=key.max_len,
+            prefill_len=key.prefill_len,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(results[1].tokens), np.asarray(solo.tokens)
+        )
+    finally:
+        gang.shutdown()
+    assert gang.batch_bucket(1) == 1
+    assert gang.batch_bucket(2) == 2
+    assert gang.batch_bucket(3) == 4
+    assert gang.batch_bucket(5) == 8
+    assert gang.batch_bucket(9) == 8  # capped at max_gang
+
+
+def test_gang_shutdown_rejects_queued(stack):
+    """shutdown() must reject — not orphan — items still queued or
+    deferred when the worker exits (ADVICE r2 low: callers blocked in
+    fut.result() hung until timeout during engine shutdown)."""
+    cfg, params, ids, sup, sot = stack
+    gang = BeamGang(cfg, params, ids, sup, window_ms=50, max_gang=4)
+    # Kill the worker first so submissions can never be served.
+    gang._stop.set()
+    gang._q.put(None)
+    gang._worker.join(timeout=10)
+    row = np.full((cfg.n_text_ctx,), ids.eot, np.int32)
+    row[: len(sot)] = sot
+    xa = _window(cfg, params, seed=50)
+    key = GangKey(
+        sample_begin=len(sot), sot_index=0, beam_size=3,
+        max_len=len(sot) + 8, prefill_len=8,
+        xa_f=xa["k"].shape[-1], use_timestamps=True,
+    )
+    f1 = gang.submit(xa, row, key)
+    f2 = gang.submit(xa, row, key)
+    gang.shutdown()
+    with pytest.raises(RuntimeError):
+        f1.result(timeout=5)
+    with pytest.raises(RuntimeError):
+        f2.result(timeout=5)
+
+
+def test_gang_lone_request_skips_wait(stack, monkeypatch):
+    """When the engine's in-flight hint says nobody else could join, the
+    gang must not burn the full collection window per decode (ADVICE r2
+    low: a lone long-form request paid +window_ms x N windows of idle)."""
+    import time as _time
+
+    import sentiric_stt_whisper_service_tpu.runtime.gang as gang_mod
+    from sentiric_stt_whisper_service_tpu.models.sampling import DecodeResult
+
+    cfg, params, ids, sup, sot = stack
+
+    def instant(cfg_, params_, xa_kv, tinit, *a, **kw):
+        B, ctx = tinit.shape
+        return DecodeResult(
+            tokens=jnp.asarray(tinit),
+            lengths=jnp.full((B,), len(sot) + 1, jnp.int32),
+            sum_logprobs=jnp.zeros((B,)),
+            avg_logprobs=jnp.zeros((B,)),
+            no_speech_probs=jnp.zeros((B,)),
+            token_logprobs=jnp.zeros((B, ctx)),
+        )
+
+    monkeypatch.setattr(gang_mod, "decode_window_beam", instant)
+    row = np.full((cfg.n_text_ctx,), ids.eot, np.int32)
+    row[: len(sot)] = sot
+    xa = _window(cfg, params, seed=60)
+    key = GangKey(
+        sample_begin=len(sot), sot_index=0, beam_size=3,
+        max_len=len(sot) + 8, prefill_len=8,
+        xa_f=xa["k"].shape[-1], use_timestamps=True,
+    )
+    # Hint = 1 (only this request in flight) → no collection wait.
+    gang = BeamGang(cfg, params, ids, sup, window_ms=1500, max_gang=4,
+                    others_hint=lambda: 1)
+    try:
+        t0 = _time.monotonic()
+        gang.submit(xa, row, key).result(timeout=30)
+        fast = _time.monotonic() - t0
+    finally:
+        gang.shutdown()
+    assert fast < 1.0, fast
+    # Control: without the hint the same submission waits out the window.
+    gang2 = BeamGang(cfg, params, ids, sup, window_ms=1500, max_gang=4)
+    try:
+        t0 = _time.monotonic()
+        gang2.submit(xa, row, key).result(timeout=30)
+        slow = _time.monotonic() - t0
+    finally:
+        gang2.shutdown()
+    assert slow >= 1.2, slow
+
+
 def test_gang_failure_rejects_all_futures(stack):
     """A poisoned member (bad leaf shapes) must reject — not hang — every
     future in its gang (round-1 orphaned-future lesson)."""
