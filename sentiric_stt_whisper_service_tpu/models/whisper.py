@@ -112,6 +112,16 @@ def config_for(name: str, dtype=jnp.bfloat16) -> WhisperConfig:
             n_text_ctx=448, n_text_state=64, n_text_head=2, n_text_layer=2,
             dtype=dtype,
         )
+    if name == "test-8h":
+        # Mini CI model with 8 heads / 128 dims: tensor-parallel meshes up
+        # to tp=8 divide the head count cleanly (engine-level mesh tests
+        # and the multichip dryrun drive SttEngine with this).
+        return WhisperConfig(
+            n_mels=80, n_vocab=51865, n_audio_ctx=1500,
+            n_audio_state=128, n_audio_head=8, n_audio_layer=2,
+            n_text_ctx=448, n_text_state=128, n_text_head=8, n_text_layer=2,
+            dtype=dtype,
+        )
     english = name.endswith(".en")
     base_name = name[:-3] if english else name
     if base_name.startswith("large"):

@@ -109,6 +109,7 @@ class ContinuousBatcher:
         kv_bits: Optional[int] = None,
         xa_ctx: Optional[int] = None,
         self_dtype=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -117,6 +118,11 @@ class ContinuousBatcher:
         self.S = max_slots
         self.cache_len = cache_len
         self.steps_per_sync = steps_per_sync
+        # Multi-chip mesh (engine MESH_SHAPE): the worker thread enters it
+        # so all batcher ops trace/execute with the same ambient mesh as
+        # the engine (pairing_ok and sharding constraints are
+        # mesh-sensitive — a mismatch would mix cache layouts).
+        self.mesh = mesh
         # Quantized cross-attention K/V slabs (compute_type=int8/int4):
         # halves the dominant HBM read of every decode step (ops/quant.py).
         # kv_bits=4 requests arrive as packed carriers and are unpacked
@@ -134,7 +140,8 @@ class ContinuousBatcher:
         self.xa_ctx = xa_ctx or cfg.n_audio_ctx
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slot_req: list[Optional[_Request]] = [None] * max_slots
-        self._state = self._init_state()
+        with self._mesh_ctx():
+            self._state = self._init_state()
         self._stop = threading.Event()
         self._wake = threading.Event()
         self._thread = threading.Thread(
@@ -262,7 +269,16 @@ class ContinuousBatcher:
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
+    def _mesh_ctx(self):
+        import contextlib
+
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        return jax.set_mesh(self.mesh)
+
     def _worker(self):
+        if self.mesh is not None:
+            jax.set_mesh(self.mesh)  # thread-local; worker-thread lifetime
         while not self._stop.is_set():
             try:
                 self._worker_tick()

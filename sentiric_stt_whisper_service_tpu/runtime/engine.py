@@ -189,6 +189,12 @@ class SttEngine:
 
             if not is_quantized(params):
                 params = quantize_params(params)
+        # Multi-chip: build the (dp, tp[, sp]) mesh from MESH_SHAPE and
+        # shard the weights Megatron-style (parallel/mesh.py) — scale-out
+        # is config, not code (SURVEY.md §5.8; replaces the reference's
+        # single-device state pool, stt_engine.cpp:36-85). Every thread
+        # that touches the device enters the mesh via _mesh_ctx().
+        self.mesh = None
         if settings.mesh_shape in ("1", "", None):
             # Single chip: fuse decoder q/k/v into one projection (fixed
             # per-op cost dominates the decode step). TP meshes keep the
@@ -196,6 +202,11 @@ class SttEngine:
             from ..ops.quant import fuse_decoder_qkv
 
             params = fuse_decoder_qkv(params)
+        else:
+            from ..parallel import make_mesh, shard_params
+
+            self.mesh = make_mesh(settings.mesh_shape)
+            params = shard_params(self.mesh, params)
         self.params = params
         # FLASH_ATTN env knob (the reference's cparams.flash_attn,
         # config.h:64): True = auto (Pallas kernel on TPU, plain XLA
@@ -248,6 +259,10 @@ class SttEngine:
                 from ..ops.quant import fuse_decoder_qkv
 
                 dparams = fuse_decoder_qkv(dparams)
+            elif self.mesh is not None:
+                from ..parallel import shard_params
+
+                dparams = shard_params(self.mesh, dparams)
             self.draft_params = dparams
             if settings.parallel_requests > 1:
                 # Never a silent no-op (VERDICT r2 weak #1): at
@@ -302,6 +317,7 @@ class SttEngine:
                     kv_bits=self.xa_bits,
                     xa_ctx=xa_ctx,
                     self_dtype=self.self_dtype,
+                    mesh=self.mesh,
                 )
             return self._batchers[xa_ctx]
 
@@ -325,6 +341,7 @@ class SttEngine:
                     max_gang=max(2, self.settings.max_batch_size),
                     self_dtype=self.self_dtype,
                     others_hint=lambda: self._beam_inflight,
+                    mesh=self.mesh,
                 )
             return self._beam_gang
 
@@ -396,13 +413,15 @@ class SttEngine:
                         k: jnp.concatenate([v] * b, axis=1)
                         for k, v in xa.items()
                     }
-                    decode_window_beam(
-                        self.cfg, self.params, xa_b,
-                        jnp.asarray(np.stack([row] * b)), len(sot), 0,
-                        self.ids, self.suppress_mask,
-                        beam_size=s.beam_size, max_len=max_len,
-                        prefill_len=prefill_len, self_dtype=self.self_dtype,
-                    )
+                    with self._mesh_ctx():
+                        decode_window_beam(
+                            self.cfg, self.params, xa_b,
+                            jnp.asarray(np.stack([row] * b)), len(sot), 0,
+                            self.ids, self.suppress_mask,
+                            beam_size=s.beam_size, max_len=max_len,
+                            prefill_len=prefill_len,
+                            self_dtype=self.self_dtype,
+                        )
                     b *= 2
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
@@ -430,6 +449,16 @@ class SttEngine:
         with self._rng_lock:
             self._rng, sub = jax.random.split(self._rng)
             return sub
+
+    def _mesh_ctx(self):
+        """Enter the engine's mesh for device work on this thread
+        (``jax.set_mesh`` is thread-local: server handler threads and
+        scheduler workers each enter it). No-op on a single chip."""
+        import contextlib
+
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        return jax.set_mesh(self.mesh)
 
     # Encoder-context shape classes for audio_ctx=-1 (auto): smallest
     # bucket covering the real audio. One compiled encode/decode set per
@@ -472,9 +501,10 @@ class SttEngine:
             elif target > windows.shape[-1]:
                 pad = [(0, 0)] * (windows.ndim - 1) + [(0, target - windows.shape[-1])]
                 windows = np.pad(windows, pad)
-        return _encode_audio_op(
-            self.cfg, self.params, jnp.asarray(windows), self.xa_bits
-        )
+        with self._mesh_ctx():
+            return _encode_audio_op(
+                self.cfg, self.params, jnp.asarray(windows), self.xa_bits
+            )
 
     def _encode_window_with_draft(
         self, windows: np.ndarray, n_ctx: Optional[int] = None
@@ -490,10 +520,11 @@ class SttEngine:
             elif target > windows.shape[-1]:
                 pad = [(0, 0)] * (windows.ndim - 1) + [(0, target - windows.shape[-1])]
                 windows = np.pad(windows, pad)
-        return _encode_audio_op_pair(
-            self.cfg, self.params, self.draft_cfg, self.draft_params,
-            jnp.asarray(windows), self.xa_bits,
-        )
+        with self._mesh_ctx():
+            return _encode_audio_op_pair(
+                self.cfg, self.params, self.draft_cfg, self.draft_params,
+                jnp.asarray(windows), self.xa_bits,
+            )
 
     # ------------------------------------------------------------------
     def transcribe_pcm16(
@@ -606,12 +637,13 @@ class SttEngine:
         n_ctx = self._window_ctx(n, options.audio_ctx)
         xa_kv = self._encode_window(window[None], n_ctx)
         sp = self.tokenizer.special
-        probs = np.asarray(
-            detect_language(
-                self.cfg, self.params, xa_kv, sp.sot, sp.language_begin,
-                sp.num_languages,
-            )
-        )[0]
+        with self._mesh_ctx():
+            probs = np.asarray(
+                detect_language(
+                    self.cfg, self.params, xa_kv, sp.sot, sp.language_begin,
+                    sp.num_languages,
+                )
+            )[0]
         best = int(np.argmax(probs))
         return LANGUAGES[best], float(probs[best]), xa_kv, n_ctx
 
@@ -684,14 +716,15 @@ class SttEngine:
         ):
             from ..models.speculative import decode_window_spec
 
-            return decode_window_spec(
-                self.cfg, self.params, xa_kv,
-                self.draft_cfg, self.draft_params, xa_kv_draft,
-                tinit, sample_begin, sot_index, self.ids,
-                self.suppress_mask, max_len=max_len,
-                gamma=max(1, self.settings.spec_gamma),
-                prefill_len=prefill_len, self_dtype=self.self_dtype,
-            )
+            with self._mesh_ctx():
+                return decode_window_spec(
+                    self.cfg, self.params, xa_kv,
+                    self.draft_cfg, self.draft_params, xa_kv_draft,
+                    tinit, sample_begin, sot_index, self.ids,
+                    self.suppress_mask, max_len=max_len,
+                    gamma=max(1, self.settings.spec_gamma),
+                    prefill_len=prefill_len, self_dtype=self.self_dtype,
+                )
         if (
             temperature <= 0.0
             and beam_size <= 1
@@ -756,27 +789,31 @@ class SttEngine:
                         self.settings.request_queue_timeout_ms / 1000.0 * 120,
                     )
                 )
-            return decode_window_beam(
-                self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
-                self.ids, self.suppress_mask, beam_size=beam_size,
-                max_len=max_len, prefill_len=prefill_len,
-                self_dtype=self.self_dtype,
-            )
+            with self._mesh_ctx():
+                return decode_window_beam(
+                    self.cfg, self.params, xa_kv, tinit, sample_begin,
+                    sot_index, self.ids, self.suppress_mask,
+                    beam_size=beam_size, max_len=max_len,
+                    prefill_len=prefill_len, self_dtype=self.self_dtype,
+                )
         if temperature > 0.0 and best_of > 1:
-            return decode_window_best_of(
+            with self._mesh_ctx():
+                return decode_window_best_of(
+                    self.cfg, self.params, xa_kv, tinit, sample_begin,
+                    sot_index, self.ids, self.suppress_mask,
+                    jnp.float32(temperature), self._next_rng(),
+                    best_of=best_of, max_len=max_len,
+                    prefill_len=prefill_len, self_dtype=self.self_dtype,
+                    cvalid_rows=self.settings.cvalid_rows,
+                )
+        with self._mesh_ctx():
+            return decode_window(
                 self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
                 self.ids, self.suppress_mask, jnp.float32(temperature),
-                self._next_rng(), best_of=best_of, max_len=max_len,
-                prefill_len=prefill_len, self_dtype=self.self_dtype,
+                self._next_rng(), max_len=max_len, prefill_len=prefill_len,
+                self_dtype=self.self_dtype,
                 cvalid_rows=self.settings.cvalid_rows,
             )
-        return decode_window(
-            self.cfg, self.params, xa_kv, tinit, sample_begin, sot_index,
-            self.ids, self.suppress_mask, jnp.float32(temperature),
-            self._next_rng(), max_len=max_len, prefill_len=prefill_len,
-            self_dtype=self.self_dtype,
-            cvalid_rows=self.settings.cvalid_rows,
-        )
 
     def _transcribe_longform(
         self,
@@ -945,12 +982,13 @@ class SttEngine:
                     from ..models.timestamps import compute_token_times
 
                     align_seq = [t for t in map(int, seq) if t != ids.eot]
-                    token_times = compute_token_times(
-                        cfg, self.params, xa_kv,
-                        np.asarray(init_tokens + align_seq, np.int64),
-                        sample_begin,
-                        max(1, remain // 320),
-                    )
+                    with self._mesh_ctx():
+                        token_times = compute_token_times(
+                            cfg, self.params, xa_kv,
+                            np.asarray(init_tokens + align_seq, np.int64),
+                            sample_begin,
+                            max(1, remain // 320),
+                        )
                 except Exception:  # noqa: BLE001 — timestamps are best-effort
                     token_times = None
 
@@ -1096,20 +1134,22 @@ class SttEngine:
                 if len(accepted) + len(silent) == W:
                     break
                 if t <= 0.0 and beam_size > 1:
-                    res = decode_window_beam(
-                        cfg, self.params, xa_kv, tinit, sample_begin, 0, ids,
-                        self.suppress_mask, beam_size=beam_size,
-                        max_len=max_len, prefill_len=prefill_len,
-                        self_dtype=self.self_dtype,
-                    )
+                    with self._mesh_ctx():
+                        res = decode_window_beam(
+                            cfg, self.params, xa_kv, tinit, sample_begin, 0,
+                            ids, self.suppress_mask, beam_size=beam_size,
+                            max_len=max_len, prefill_len=prefill_len,
+                            self_dtype=self.self_dtype,
+                        )
                 else:
-                    res = decode_window(
-                        cfg, self.params, xa_kv, tinit, sample_begin, 0, ids,
-                        self.suppress_mask, jnp.float32(max(t, 0.0)),
-                        self._next_rng(), max_len=max_len,
-                        prefill_len=prefill_len, self_dtype=self.self_dtype,
-                        cvalid_rows=self.settings.cvalid_rows,
-                    )
+                    with self._mesh_ctx():
+                        res = decode_window(
+                            cfg, self.params, xa_kv, tinit, sample_begin, 0,
+                            ids, self.suppress_mask, jnp.float32(max(t, 0.0)),
+                            self._next_rng(), max_len=max_len,
+                            prefill_len=prefill_len, self_dtype=self.self_dtype,
+                            cvalid_rows=self.settings.cvalid_rows,
+                        )
                 toks_np = np.asarray(res.tokens)
                 lens_np = np.asarray(res.lengths)
                 lps_np = np.asarray(res.token_logprobs)

@@ -76,6 +76,7 @@ class BeamGang:
         max_gang: int = 8,
         self_dtype=None,
         others_hint=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -90,6 +91,9 @@ class BeamGang:
         # skipped: a lone long-form request would otherwise pay
         # +window_ms of pure idle per 30 s window.
         self.others_hint = others_hint
+        # Multi-chip mesh (engine MESH_SHAPE): the worker thread enters it
+        # so gang decodes run under the same ambient mesh as the engine.
+        self.mesh = mesh
         self._q: "queue.Queue[Optional[_Item]]" = queue.Queue()
         self._pending: list[_Item] = []  # items deferred by a key mismatch
         self._stop = threading.Event()
@@ -190,6 +194,10 @@ class BeamGang:
         return item
 
     def _run(self):
+        if self.mesh is not None:
+            import jax
+
+            jax.set_mesh(self.mesh)  # thread-local; worker-thread lifetime
         try:
             while not self._stop.is_set():
                 item = self._next_item()
