@@ -95,6 +95,10 @@ class Settings:
     # the reference's hardcoded entropy_thold=2.40 (stt_engine.cpp:241);
     # "compression_ratio" = openai-whisper's zlib-ratio>2.4 form.
     quality_gate: str = "entropy"
+    # Per-segment avg token-probability drop gate (the reference hardcodes
+    # 0.40, stt_engine.cpp:263-264,305-311). Exposed so deployments (and
+    # the gate-passing streaming bench) can relax it; 0 disables.
+    min_segment_avg_prob: float = 0.40
     flash_attn: bool = True
     suppress_nst: bool = True
 
@@ -206,6 +210,9 @@ def load_settings() -> Settings:
 
     s.no_speech_threshold = _env_float("NO_SPEECH_THRESHOLD", s.no_speech_threshold)
     s.quality_gate = _env("QUALITY_GATE", s.quality_gate)
+    s.min_segment_avg_prob = _env_float(
+        "MIN_SEGMENT_AVG_PROB", s.min_segment_avg_prob
+    )
     s.sample_rate = _env_int("SAMPLE_RATE", s.sample_rate)
     s.stream_buffer_samples = _env_int(
         "STREAM_BUFFER_SAMPLES", s.stream_buffer_samples

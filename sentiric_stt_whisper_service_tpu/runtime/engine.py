@@ -65,7 +65,8 @@ from .vad import is_speech_detected
 # Settings.quality_gate selects ("entropy" = reference parity, default).
 ENTROPY_THRESHOLD = 2.4
 COMPRESSION_RATIO_THRESHOLD = 2.4  # openai-whisper semantics
-MIN_SEGMENT_AVG_PROB = 0.40  # segment drop gate (stt_engine.cpp:263-264)
+# Segment drop gate default lives in Settings.min_segment_avg_prob
+# (reference hardcodes 0.40, stt_engine.cpp:263-264).
 SAMPLE_LEN = 224  # max sampled tokens per window (whisper: n_text_ctx // 2)
 
 
@@ -999,7 +1000,7 @@ class SttEngine:
                     continue
                 probs = [float(np.exp(lp)) for lp in seg["logprobs"]]
                 avg_p = float(np.mean(probs)) if probs else 0.0
-                if avg_p < MIN_SEGMENT_AVG_PROB:
+                if avg_p < s.min_segment_avg_prob:
                     continue  # quality gate (stt_engine.cpp:305-311)
 
                 t0_cs = base_cs + seg["t0"]
@@ -1257,7 +1258,7 @@ class SttEngine:
                 continue
             probs = [float(np.exp(lp)) for lp in seg["logprobs"]]
             avg_p = float(np.mean(probs)) if probs else 0.0
-            if avg_p < MIN_SEGMENT_AVG_PROB:
+            if avg_p < s.min_segment_avg_prob:
                 continue
             t0_cs = base_cs + seg["t0"]
             t1_cs = base_cs + seg["t1"]
@@ -1362,7 +1363,11 @@ def quality_gate_fails(mode: str, text: str, text_tokens) -> bool:
     entropy_thold=2.40 (stt_engine.cpp:241) — fails when MORE than 32
     tokens were sampled and their last-32 count entropy is below 2.40.
     ``mode="compression_ratio"``: openai-whisper semantics — fails when
-    the zlib compression ratio of the decoded text exceeds 2.4."""
+    the zlib compression ratio of the decoded text exceeds 2.4.
+    ``mode="off"``: never fails (single-rung decode; the avg-logprob and
+    no-speech gates still apply unless their thresholds are moved)."""
+    if mode in ("off", "none"):
+        return False
     if mode == "compression_ratio":
         return _compression_ratio(text) > COMPRESSION_RATIO_THRESHOLD
     return (

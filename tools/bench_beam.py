@@ -97,6 +97,50 @@ def main():
         "unit": "audio_sec/sec/chip",
     }))
 
+    if os.environ.get("BENCH_EOT_EARLY", "0") != "1":
+        return
+
+    # --- EOT-early regime (typical real-speech windows: beams finish in
+    # tens of steps, not max_len). Random weights never emit EOT, so an
+    # additive EOT boost on the suppress mask forces every beam to bank a
+    # finished hypothesis within a few steps; banked-K termination
+    # (models/beam.py early_stop) should then cut the window to a
+    # fraction of max_len — measured against early_stop=False, which is
+    # output-identical by construction.
+    sup_boost = jnp.asarray(
+        np.asarray(sup, np.float32) + np.eye(1, cfg.n_vocab, ids.eot)[0] * 14.0
+    )
+
+    def mk(early):
+        @jax.jit
+        def run(p, a):
+            mel = compute_log_mel(a, n_mels=cfg.n_mels, dtype=cfg.dtype)
+            xa_kv = precompute_xa_kv(cfg, p, encoder_apply(cfg, p, mel), KV_BITS)
+            return decode_window_beam(
+                cfg, p, xa_kv, tinit, len(sot), 0, ids, sup_boost,
+                beam_size=K, max_len=max_len, self_dtype=SELF_DTYPE,
+                early_stop=early,
+            )
+        return run
+
+    for early in (True, False):
+        run = mk(early)
+        r = run(params, audio)
+        _ = int(np.asarray(r.lengths).sum())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = run(params, audio)
+        _ = int(np.asarray(r.lengths).sum())
+        d = (time.perf_counter() - t0) / iters
+        print(json.dumps({
+            "metric": (
+                f"RTFx_beam{K}_batch{B}_{MODEL}_eot_early_"
+                f"{'banked_stop' if early else 'full_run'}"
+            ),
+            "value": round(B * 30.0 / d, 1),
+            "unit": "audio_sec/sec/chip",
+        }))
+
 
 if __name__ == "__main__":
     main()
