@@ -36,6 +36,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .sampling import (
     NEG_INF,
@@ -111,7 +112,9 @@ def decode_window_beam(
     self_dtype=None,
     cache_buckets: bool = True,
     early_stop: bool = True,
-) -> DecodeResult:
+    should_abort=None,
+    abort_chunk: int = 32,
+) -> Optional[DecodeResult]:
     """Beam-search decode; returns the best hypothesis per batch item with
     the same DecodeResult contract as greedy ``decode_window``.
 
@@ -120,7 +123,16 @@ def decode_window_beam(
     ``self_dtype`` overrides the self-KV-slab storage dtype (fp8 policy,
     see init_kv_cache). ``early_stop=False`` disables the banked-K
     termination (runs to max_len) — output-identical by construction,
-    used by the equivalence tests."""
+    used by the equivalence tests.
+
+    ``should_abort``: cooperative mid-decode cancellation (the reference's
+    abort callback into whisper_full's decode loop,
+    /root/reference/src/stt_engine.cpp:215-219). When given, the window
+    runs as host-chunked while_loops (``abort_chunk`` steps per launch,
+    state stays on device) with the callback polled between chunks;
+    returns None if aborted. Output-identical to the single-launch path —
+    the chunk boundary only splits the loop, never the math. When None,
+    the decode stays ONE launch (no per-chunk dispatch cost)."""
     if prefill_len is None:
         prefill_len = prompt_bucket(int(sample_begin))
     max_len = max_len or cfg.n_text_ctx
@@ -134,43 +146,52 @@ def decode_window_beam(
         # the default FOLDED XLA path (decoder_step_beam rank-6 cache)
         # fuses the convert into the dot and honors the engine's policy.
         self_dtype = None
-    return _decode_window_beam_impl(
+    if should_abort is None:
+        return _decode_window_beam_impl(
+            cfg, params, xa_kv, tokens_init,
+            jnp.asarray(sample_begin, jnp.int32),
+            jnp.asarray(sot_index, jnp.int32),
+            ids, suppress_mask, beam_size, max_len, use_timestamps,
+            prefill_len, self_dtype, cache_buckets, early_stop,
+        )
+    if should_abort():
+        return None
+    K = beam_size
+    sb = jnp.asarray(sample_begin, jnp.int32)
+    state, no_speech, xa_dev = _beam_prefill_impl(
         cfg, params, xa_kv, tokens_init,
-        jnp.asarray(sample_begin, jnp.int32), jnp.asarray(sot_index, jnp.int32),
-        ids, suppress_mask, beam_size, max_len, use_timestamps, prefill_len,
-        self_dtype, cache_buckets, early_stop,
+        sb, jnp.asarray(sot_index, jnp.int32),
+        ids, K, max_len, prefill_len, self_dtype,
     )
+    pos = int(sample_begin)
+    while pos < max_len:
+        if should_abort():
+            return None
+        until = min(pos + max(1, abort_chunk), max_len)
+        state = _beam_chunk_impl(
+            cfg, params, xa_dev, state, jnp.int32(until), sb, ids,
+            suppress_mask, K, max_len, use_timestamps, cache_buckets,
+            early_stop,
+        )
+        pos = int(state[3])  # device sync: chunk boundary
+        if early_stop and bool((np.asarray(state[7]) >= K).all()):
+            break
+        if pos < until:  # loop exited early inside the chunk
+            break
+    return _beam_finalize_impl(state, no_speech, sb, K)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "ids", "beam_size", "max_len", "use_timestamps", "prefill_len",
-        "self_dtype", "cache_buckets", "early_stop",
-    ),
-)
-def _decode_window_beam_impl(
-    cfg: WhisperConfig,
-    params,
-    xa_kv: dict,
-    tokens_init: jnp.ndarray,
-    sample_begin: jnp.ndarray,  # traced scalar
-    sot_index: jnp.ndarray,  # traced scalar
-    ids: TokenIds,
-    suppress_mask: jnp.ndarray,
-    beam_size: int,
-    max_len: int,
-    use_timestamps: bool,
-    prefill_len: int,
-    self_dtype=None,
-    cache_buckets: bool = True,
-    early_stop: bool = True,
-) -> DecodeResult:
+def _beam_setup(
+    cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
+    K, max_len, prefill_len, self_dtype,
+):
+    """Prefill + initial loop state (shared by the single-launch impl and
+    the host-chunked abortable path). Returns (state, no_speech_probs,
+    xa_dev) where xa_dev is the carrier-unpacked cross slab."""
     from ..ops.quant import unpack_xa_kv
 
     xa_kv = unpack_xa_kv(xa_kv)  # int4 carrier → native int4, pre-loop
     B, ctx = tokens_init.shape
-    K = beam_size
     BK = B * K
     cache_len = min(ctx, -(-max_len // 32) * 32)  # 32-row granularity: every
     # step streams the whole slab, so a 131-token decode reads a 160-row
@@ -218,7 +239,41 @@ def _decode_window_beam_impl(
     probs_at_sot = jax.nn.softmax(prefill_logits[:, sot_index], axis=-1)
     no_speech_probs = probs_at_sot[:, ids.no_speech]  # [B]
 
+    state = (
+        tokens,
+        kv,
+        anc,
+        sample_begin,
+        jnp.zeros((BK,), jnp.float32),
+        jnp.zeros((BK, ctx), jnp.float32),
+        jnp.repeat(
+            jax.lax.dynamic_slice_in_dim(
+                prefill_logits, sample_begin - 1, 1, axis=1
+            )[:, 0],
+            K,
+            axis=0,
+        ),
+        jnp.zeros((B,), jnp.int32),  # bank_count
+        jnp.full((B,), NEG_INF, jnp.float32),  # best_avg
+        jnp.zeros((B,), jnp.float32),  # best_sum
+        jnp.zeros((B,), jnp.int32),  # best_len
+        tokens_init,  # best_tokens placeholder
+        jnp.zeros((B, ctx), jnp.float32),  # best_lps
+    )
+    return state, no_speech_probs, xa_kv
+
+
+def _beam_loop_fns(
+    cfg, params, xa_kv, ids, suppress_mask, K, B, sample_begin,
+    use_timestamps, cache_buckets, early_stop, until,
+):
+    """(step_fn, cond_fn) over the 13-tuple beam state. ``until`` is the
+    loop bound — max_len in the single-launch impl, the (traced) chunk
+    boundary in the abortable path; the step math is identical either
+    way."""
+    fold = _fold_self(cfg)
     V = cfg.n_vocab
+    BK = B * K
 
     start_row = jnp.zeros((V,)).at[ids.blank].set(NEG_INF).at[ids.eot].set(NEG_INF)
 
@@ -342,6 +397,7 @@ def _decode_window_beam_impl(
         # don't pay for the full slab.
         from .whisper import _use_flash
 
+        cache_len = anc.shape[-1]  # static under trace
         buckets = list(range(128, cache_len, 128)) + [cache_len]
         if cache_buckets and (fold or _use_flash()) and len(buckets) > 1:
             def mk_branch(cb):
@@ -367,7 +423,7 @@ def _decode_window_beam_impl(
 
     def cond_fn(state):
         pos, bank_count = state[3], state[7]
-        cont = pos < max_len
+        cont = pos < until
         if early_stop:
             # whisper.cpp / openai termination: every item has banked K
             # finished sequences — further steps cannot change the banked
@@ -376,35 +432,19 @@ def _decode_window_beam_impl(
             cont = cont & ~jnp.all(bank_count >= K)
         return cont
 
-    state = (
-        tokens,
-        kv,
-        anc,
-        sample_begin,
-        jnp.zeros((BK,), jnp.float32),
-        jnp.zeros((BK, ctx), jnp.float32),
-        jnp.repeat(
-            jax.lax.dynamic_slice_in_dim(
-                prefill_logits, sample_begin - 1, 1, axis=1
-            )[:, 0],
-            K,
-            axis=0,
-        ),
-        jnp.zeros((B,), jnp.int32),  # bank_count
-        jnp.full((B,), NEG_INF, jnp.float32),  # best_avg
-        jnp.zeros((B,), jnp.float32),  # best_sum
-        jnp.zeros((B,), jnp.int32),  # best_len
-        tokens_init,  # best_tokens placeholder
-        jnp.zeros((B, ctx), jnp.float32),  # best_lps
-    )
-    (tokens, kv, anc, pos, sum_lp, tok_lps, _, bank_count, best_avg,
-     best_sum, best_len, best_tokens, best_lps) = jax.lax.while_loop(
-        cond_fn, step_fn, state
-    )
+    return step_fn, cond_fn
 
-    # Finalize: items short of K banked sequences consider their live
-    # lanes too (openai's finalize fill — lanes share the same length, so
-    # the fill's best-by-avg is the overall live argmax).
+
+def _beam_result(state, no_speech_probs, sample_begin, K) -> DecodeResult:
+    """Winner selection over the final loop state (openai's finalize fill:
+    items short of K banked sequences consider their live lanes too —
+    lanes share the same length, so the fill's best-by-avg is the overall
+    live argmax)."""
+    (tokens, _kv, _anc, pos, sum_lp, tok_lps, _, bank_count, best_avg,
+     best_sum, best_len, best_tokens, best_lps) = state
+    BK = tokens.shape[0]
+    B = BK // K
+    item_base = jnp.arange(B) * K
     n_live = jnp.maximum(pos - sample_begin, 1).astype(jnp.float32)
     avg_live = (sum_lp / n_live).reshape(B, K)
     live_best = jnp.argmax(avg_live, axis=1)  # [B]
@@ -419,3 +459,92 @@ def _decode_window_beam_impl(
         no_speech_probs=no_speech_probs,
         token_logprobs=jnp.where(use_live[:, None], tok_lps[sel], best_lps),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "ids", "beam_size", "max_len", "use_timestamps", "prefill_len",
+        "self_dtype", "cache_buckets", "early_stop",
+    ),
+)
+def _decode_window_beam_impl(
+    cfg: WhisperConfig,
+    params,
+    xa_kv: dict,
+    tokens_init: jnp.ndarray,
+    sample_begin: jnp.ndarray,  # traced scalar
+    sot_index: jnp.ndarray,  # traced scalar
+    ids: TokenIds,
+    suppress_mask: jnp.ndarray,
+    beam_size: int,
+    max_len: int,
+    use_timestamps: bool,
+    prefill_len: int,
+    self_dtype=None,
+    cache_buckets: bool = True,
+    early_stop: bool = True,
+) -> DecodeResult:
+    """Single-launch beam window: prefill + while_loop + finalize fused in
+    ONE executable (the hot path — gang/bench/offline)."""
+    K = beam_size
+    B = tokens_init.shape[0]
+    state, no_speech_probs, xa_dev = _beam_setup(
+        cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
+        K, max_len, prefill_len, self_dtype,
+    )
+    step_fn, cond_fn = _beam_loop_fns(
+        cfg, params, xa_dev, ids, suppress_mask, K, B, sample_begin,
+        use_timestamps, cache_buckets, early_stop, until=max_len,
+    )
+    state = jax.lax.while_loop(cond_fn, step_fn, state)
+    return _beam_result(state, no_speech_probs, sample_begin, K)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "ids", "beam_size", "max_len", "prefill_len", "self_dtype",
+    ),
+)
+def _beam_prefill_impl(
+    cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
+    beam_size, max_len, prefill_len, self_dtype,
+):
+    """Abortable-path stage 1: prefill and return (state, no_speech,
+    xa_dev) with the cross slab carrier-unpacked ONCE (chunks then take
+    the native slab — no per-chunk unpack)."""
+    return _beam_setup(
+        cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
+        beam_size, max_len, prefill_len, self_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "ids", "beam_size", "max_len", "use_timestamps",
+        "cache_buckets", "early_stop",
+    ),
+)
+def _beam_chunk_impl(
+    cfg, params, xa_dev, state, chunk_until, sample_begin, ids,
+    suppress_mask, beam_size, max_len, use_timestamps, cache_buckets,
+    early_stop,
+):
+    """Abortable-path stage 2: advance the loop to ``chunk_until`` (traced
+    — every chunk size shares ONE executable). State stays on device
+    between chunks; only the chunk boundary syncs the host."""
+    K = beam_size
+    B = state[0].shape[0] // K
+    step_fn, cond_fn = _beam_loop_fns(
+        cfg, params, xa_dev, ids, suppress_mask, K, B, sample_begin,
+        use_timestamps, cache_buckets, early_stop,
+        until=jnp.minimum(chunk_until, max_len),
+    )
+    return jax.lax.while_loop(cond_fn, step_fn, state)
+
+
+@functools.partial(jax.jit, static_argnames=("beam_size",))
+def _beam_finalize_impl(state, no_speech_probs, sample_begin, beam_size):
+    return _beam_result(state, no_speech_probs, sample_begin, beam_size)

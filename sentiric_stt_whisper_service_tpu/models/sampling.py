@@ -261,10 +261,12 @@ def decode_window_best_of(
     cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
     suppress_mask, temperature, rng, best_of: int = 5, max_len=None,
     use_timestamps: bool = True, prefill_len=None, self_dtype=None,
-    cvalid_rows=None,
+    cvalid_rows=None, should_abort=None,
 ) -> "DecodeResult":
     """best_of independent samples per item (temperature > 0), winner by avg
-    logprob — openai-whisper's n_group sampling, batched as [B*G]."""
+    logprob — openai-whisper's n_group sampling, batched as [B*G].
+    ``should_abort`` chunks the inner decode with the callback polled
+    between chunks (returns None if aborted)."""
     import numpy as _np
 
     B, ctx = tokens_init.shape
@@ -276,7 +278,10 @@ def decode_window_best_of(
         suppress_mask, temperature, rng, max_len=max_len,
         use_timestamps=use_timestamps, prefill_len=prefill_len,
         self_dtype=self_dtype, cvalid_rows=cvalid_rows,
+        should_abort=should_abort,
     )
+    if res is None:  # aborted mid-decode
+        return None
     best = jnp.argmax(res.avg_logprobs.reshape(B, G), axis=1)
     sel = jnp.arange(B) * G + best
     return DecodeResult(
@@ -305,7 +310,9 @@ def decode_window(
     prefill_len: Optional[int] = None,
     self_dtype=None,
     cvalid_rows: Optional[int] = None,
-) -> DecodeResult:
+    should_abort=None,
+    abort_chunk: int = 32,
+) -> Optional[DecodeResult]:
     """Decode one batch of 30 s windows to EOT, fully on device.
 
     ``sample_begin``/``sot_index`` are traced: one compiled executable per
@@ -317,42 +324,58 @@ def decode_window(
 
     ``self_dtype`` overrides the self-KV-cache storage dtype (e.g.
     ``jnp.float8_e4m3fn`` — engine ``self_cache`` policy; see
-    init_kv_cache)."""
+    init_kv_cache).
+
+    ``should_abort``: cooperative mid-decode cancellation (reference
+    abort callback, stt_engine.cpp:215-219). When given, the loop runs as
+    host-side chunks of ``abort_chunk`` steps (state device-resident, the
+    callback polled between chunks; output-identical) and returns None if
+    aborted. When None the decode stays ONE launch."""
     if prefill_len is None:
         prefill_len = prompt_bucket(int(sample_begin))
     max_len = max_len or cfg.n_text_ctx
-    return _decode_window_impl(
-        cfg, params, xa_kv, tokens_init,
-        jnp.asarray(sample_begin, jnp.int32), jnp.asarray(sot_index, jnp.int32),
-        ids, suppress_mask, temperature, rng, max_len, use_timestamps,
-        prefill_len, self_dtype, cvalid_rows,
+    if should_abort is None:
+        return _decode_window_impl(
+            cfg, params, xa_kv, tokens_init,
+            jnp.asarray(sample_begin, jnp.int32),
+            jnp.asarray(sot_index, jnp.int32),
+            ids, suppress_mask, temperature, rng, max_len, use_timestamps,
+            prefill_len, self_dtype, cvalid_rows,
+        )
+    if should_abort():
+        return None
+    import numpy as _np
+
+    sb = jnp.asarray(sample_begin, jnp.int32)
+    state, no_speech, xa_dev = _decode_prefill_impl(
+        cfg, params, xa_kv, tokens_init, sb,
+        jnp.asarray(sot_index, jnp.int32), ids, rng, max_len, prefill_len,
+        self_dtype,
     )
+    pos = int(sample_begin)
+    while pos < max_len:
+        if should_abort():
+            return None
+        until = min(pos + max(1, abort_chunk), max_len)
+        state = _decode_chunk_impl(
+            cfg, params, xa_dev, state, jnp.int32(until), sb, ids,
+            suppress_mask, temperature, max_len, use_timestamps, cvalid_rows,
+        )
+        pos = int(state[2])  # device sync at the chunk boundary
+        if bool(_np.asarray(state[3]).all()):  # every row hit EOT
+            break
+        if pos < until:
+            break
+    return _decode_finalize_impl(state, no_speech, sb, ids)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "ids", "max_len", "use_timestamps", "prefill_len", "self_dtype",
-        "cvalid_rows",
-    ),
-)
-def _decode_window_impl(
-    cfg: WhisperConfig,
-    params,
-    xa_kv: dict,
-    tokens_init: jnp.ndarray,
-    sample_begin: jnp.ndarray,  # traced scalar int32
-    sot_index: jnp.ndarray,  # traced scalar int32
-    ids: TokenIds,
-    suppress_mask: jnp.ndarray,
-    temperature: jnp.ndarray,
-    rng: jax.Array,
-    max_len: int,
-    use_timestamps: bool,
-    prefill_len: int,
-    self_dtype=None,
-    cvalid_rows: Optional[int] = None,
-) -> DecodeResult:
+def _decode_setup(
+    cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids, rng,
+    max_len, prefill_len, self_dtype,
+):
+    """Prefill + initial loop state (shared by the single-launch impl and
+    the host-chunked abortable path). Returns (state, no_speech_probs,
+    xa_dev)."""
     from ..ops.quant import unpack_xa_kv
 
     # int4 carrier → native int4 slab, ONCE per window (outside the token
@@ -378,6 +401,30 @@ def _decode_window_impl(
     probs_at_sot = jax.nn.softmax(prefill_logits[:, sot_index], axis=-1)
     no_speech_probs = probs_at_sot[:, ids.no_speech]
 
+    state = (
+        tokens_init,
+        kv,
+        sample_begin,
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B, ctx), jnp.float32),
+        rng,
+        # logits after the last REAL prompt token (dynamic: the bucketed
+        # prefill's trailing positions are padding).
+        jax.lax.dynamic_slice_in_dim(
+            prefill_logits, sample_begin - 1, 1, axis=1
+        )[:, 0],
+    )
+    return state, no_speech_probs, xa_kv
+
+
+def _decode_loop_fns(
+    cfg, params, xa_kv, ids, suppress_mask, temperature, sample_begin,
+    use_timestamps, cvalid_rows, until,
+):
+    """(step_fn, cond_fn) over the 8-tuple greedy/sampled decode state.
+    ``until`` is max_len in the single-launch impl, the traced chunk
+    boundary in the abortable path — identical step math either way."""
     # Start-of-sample suppression as one precomputed [V] row (building a
     # [B, V] zeros-like + scatter every step costs two full-array passes).
     vocab_idx = jnp.arange(cfg.n_vocab)
@@ -434,6 +481,7 @@ def _decode_window_impl(
         # Bucketed self-slab reads (exact: rows ≥ pos are masked anyway) —
         # early steps stream only a c_valid prefix of the cache rows.
         tok1 = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)[:, 0]
+        cache_len = kv["k"].shape[3]  # static under trace
         buckets = cvalid_buckets(cache_len, cvalid_rows)
         if len(buckets) > 1:
             def mk_branch(cb):
@@ -453,27 +501,16 @@ def _decode_window_impl(
 
     def cond_fn(state):
         pos, done = state[2], state[3]
-        return (pos < max_len) & ~jnp.all(done)
+        return (pos < until) & ~jnp.all(done)
 
-    state = (
-        tokens_init,
-        kv,
-        sample_begin,
-        jnp.zeros((B,), bool),
-        jnp.zeros((B,), jnp.float32),
-        jnp.zeros((B, ctx), jnp.float32),
-        rng,
-        # logits after the last REAL prompt token (dynamic: the bucketed
-        # prefill's trailing positions are padding).
-        jax.lax.dynamic_slice_in_dim(
-            prefill_logits, sample_begin - 1, 1, axis=1
-        )[:, 0],
-    )
-    tokens, kv, pos, done, sum_lp, tok_lps, _, _ = jax.lax.while_loop(
-        cond_fn, step_fn, state
-    )
+    return step_fn, cond_fn
 
-    # lengths: index of first EOT at/after sample_begin, else pos.
+
+def _decode_result(state, no_speech_probs, sample_begin, ids) -> DecodeResult:
+    """lengths/avg over the final loop state: index of first EOT at/after
+    sample_begin, else pos."""
+    tokens, _kv, pos, _done, sum_lp, tok_lps, _, _ = state
+    ctx = tokens.shape[1]
     positions = jnp.arange(ctx)[None, :]
     is_eot = (tokens == ids.eot) & (positions >= sample_begin) & (positions < pos)
     first_eot = jnp.min(jnp.where(is_eot, positions, ctx), axis=1)
@@ -488,3 +525,79 @@ def _decode_window_impl(
         no_speech_probs=no_speech_probs,
         token_logprobs=tok_lps,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "ids", "max_len", "use_timestamps", "prefill_len", "self_dtype",
+        "cvalid_rows",
+    ),
+)
+def _decode_window_impl(
+    cfg: WhisperConfig,
+    params,
+    xa_kv: dict,
+    tokens_init: jnp.ndarray,
+    sample_begin: jnp.ndarray,  # traced scalar int32
+    sot_index: jnp.ndarray,  # traced scalar int32
+    ids: TokenIds,
+    suppress_mask: jnp.ndarray,
+    temperature: jnp.ndarray,
+    rng: jax.Array,
+    max_len: int,
+    use_timestamps: bool,
+    prefill_len: int,
+    self_dtype=None,
+    cvalid_rows: Optional[int] = None,
+) -> DecodeResult:
+    """Single-launch window decode: prefill + while_loop + finalize fused
+    in ONE executable (the hot path)."""
+    state, no_speech_probs, xa_dev = _decode_setup(
+        cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids, rng,
+        max_len, prefill_len, self_dtype,
+    )
+    step_fn, cond_fn = _decode_loop_fns(
+        cfg, params, xa_dev, ids, suppress_mask, temperature, sample_begin,
+        use_timestamps, cvalid_rows, until=max_len,
+    )
+    state = jax.lax.while_loop(cond_fn, step_fn, state)
+    return _decode_result(state, no_speech_probs, sample_begin, ids)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "ids", "max_len", "prefill_len", "self_dtype"),
+)
+def _decode_prefill_impl(
+    cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids, rng,
+    max_len, prefill_len, self_dtype,
+):
+    """Abortable-path stage 1: prefill; the cross slab comes back
+    carrier-unpacked so chunks never re-unpack."""
+    return _decode_setup(
+        cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids, rng,
+        max_len, prefill_len, self_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "ids", "max_len", "use_timestamps", "cvalid_rows"),
+)
+def _decode_chunk_impl(
+    cfg, params, xa_dev, state, chunk_until, sample_begin, ids,
+    suppress_mask, temperature, max_len, use_timestamps, cvalid_rows,
+):
+    """Abortable-path stage 2: advance to ``chunk_until`` (traced — all
+    chunk sizes share one executable); state stays on device."""
+    step_fn, cond_fn = _decode_loop_fns(
+        cfg, params, xa_dev, ids, suppress_mask, temperature, sample_begin,
+        use_timestamps, cvalid_rows, until=jnp.minimum(chunk_until, max_len),
+    )
+    return jax.lax.while_loop(cond_fn, step_fn, state)
+
+
+@functools.partial(jax.jit, static_argnames=("ids",))
+def _decode_finalize_impl(state, no_speech_probs, sample_begin, ids):
+    return _decode_result(state, no_speech_probs, sample_begin, ids)

@@ -68,6 +68,20 @@ COMPRESSION_RATIO_THRESHOLD = 2.4  # openai-whisper semantics
 # Segment drop gate default lives in Settings.min_segment_avg_prob
 # (reference hardcodes 0.40, stt_engine.cpp:263-264).
 SAMPLE_LEN = 224  # max sampled tokens per window (whisper: n_text_ctx // 2)
+# Shape classes for per-request token caps (RequestOptions.max_decode_tokens):
+# every distinct decode length bound is its own XLA executable, so caps
+# round UP to one of these.
+TOKEN_CAP_BUCKETS = (16, 32, 64, 128, SAMPLE_LEN)
+
+
+def token_cap_bucket(n: int) -> int:
+    """Smallest TOKEN_CAP_BUCKETS entry ≥ n (SAMPLE_LEN for n ≤ 0)."""
+    if n <= 0:
+        return SAMPLE_LEN
+    for b in TOKEN_CAP_BUCKETS:
+        if n <= b:
+            return b
+    return SAMPLE_LEN
 
 
 class EngineBusyException(RuntimeError):
@@ -104,6 +118,15 @@ class RequestOptions:
     # reference cannot express; typically several times faster on long
     # audio at slightly different segmentation.
     condition_on_previous_text: bool = True
+    # Per-window sampled-token budget; -1 = SAMPLE_LEN (224). Streaming
+    # partial ticks cap this to the audio tail's plausible token count so
+    # per-tick decode work is bounded by the tail, not the window
+    # (bucketed to TOKEN_CAP_BUCKETS to bound XLA shape classes).
+    max_decode_tokens: int = -1
+    # None = Settings.no_timestamps; True skips the DTW alignment pass
+    # (token times fall back to segment bounds). Streaming partial ticks
+    # set this — partials carry no word times on the wire.
+    no_timestamps: Optional[bool] = None
 
 
 @dataclasses.dataclass
@@ -377,18 +400,50 @@ class SttEngine:
                     )
                 except Exception:  # noqa: BLE001
                     pass
+        # Streaming tick ladder (stream_incremental; VERDICT r3 #2):
+        # incremental partial ticks decode with capped token budgets
+        # through the fused single-stream executable — pre-compile the
+        # cap classes at the no-prompt prefill bucket (the classes every
+        # session's early ticks hit; carried-prompt classes compile
+        # lazily and land in the persistent compile cache). The batcher
+        # path (parallel_requests > 1) needs no warmup: its per-slot
+        # max_len is traced.
+        if (
+            self.settings.stream_incremental
+            and self.settings.parallel_requests == 1
+            and self.settings.beam_size <= 1
+            and self.settings.temperature <= 0.0
+        ):
+            sot_seq = list(
+                self.tokenizer.sot_sequence(
+                    "en" if self.cfg.is_multilingual else None
+                )
+            )
+            n_ctx_t = self._window_ctx(N_SAMPLES, None)
+            for cap in (32, 64, 128):
+                try:
+                    self._decode_one(
+                        None, sot_seq, len(sot_seq), 0, 0.0, 1, 1,
+                        window_audio=np.zeros(N_SAMPLES, np.float32),
+                        n_ctx=n_ctx_t, sample_len=cap,
+                    )
+                except Exception:  # noqa: BLE001 — warmup is best-effort
+                    pass
+
         # Gang batch buckets: when the default strategy routes beam
         # windows through the gang (runtime/gang.py), each power-of-two
         # batch bucket is its own XLA shape class. Compile them here so
         # the FIRST live coalescence of two requests doesn't block both
         # on a fresh multi-second compile.
+        # (Beam requests always decode at FULL audio ctx — see
+        # _transcribe_longform — so one shape class per batch bucket is
+        # the complete warmup set even under AUDIO_CTX=-1.)
         s = self.settings
         if (
             s.beam_size > 1
             and s.temperature <= 0.0
             and s.parallel_requests > 1
             and s.gang_window_ms > 0
-            and s.audio_ctx == 0
         ):
             try:
                 from ..models.beam import decode_window_beam
@@ -662,6 +717,7 @@ class SttEngine:
         window_audio=None,
         n_ctx=None,
         xa_out=None,
+        sample_len: int = SAMPLE_LEN,
     ):
         """One decode attempt at one temperature for a single window.
 
@@ -685,7 +741,7 @@ class SttEngine:
         # Bucketed shapes: one compiled decode per (prefill bucket) class
         # instead of one per carried-prompt length.
         prefill_len = prompt_bucket(sample_begin)
-        max_len = min(ctx, prefill_len + SAMPLE_LEN)
+        max_len = min(ctx, prefill_len + sample_len)
         raw_batchable = (
             xa_kv is None
             and window_audio is not None
@@ -694,6 +750,43 @@ class SttEngine:
             and self.settings.parallel_requests > 1
             and xa_kv_draft is None
         )
+        # Single-stream greedy (parallel_requests=1, the latency-critical
+        # streaming-tick path): mel → encoder → KV precompute → decode in
+        # ONE fused executable — every separate launch pays a host→device
+        # dispatch round trip (docs/PERF.md), the dominant fixed cost of a
+        # 500 ms tick.
+        raw_fusable = (
+            xa_kv is None
+            and window_audio is not None
+            and temperature <= 0.0
+            and beam_size <= 1
+            and self.settings.parallel_requests == 1
+            and xa_kv_draft is None
+            # A single fused launch can't poll the abort callback
+            # mid-decode; abortable requests take the chunked path below.
+            and should_abort is None
+        )
+        if raw_fusable:
+            windows = np.asarray(window_audio, np.float32).reshape(1, -1)
+            if n_ctx is not None:
+                target = n_ctx * 320
+                if target < windows.shape[-1]:
+                    windows = windows[:, :target]
+                elif target > windows.shape[-1]:
+                    windows = np.pad(
+                        windows, ((0, 0), (0, target - windows.shape[-1]))
+                    )
+            with self._mesh_ctx():
+                xa_kv, res = _encode_decode_op(
+                    self.cfg, self.params, jnp.asarray(windows), self.xa_bits,
+                    tinit, sample_begin, sot_index, self.ids,
+                    self.suppress_mask, jnp.float32(0.0), self._next_rng(),
+                    max_len, prefill_len, self.self_dtype,
+                    self.settings.cvalid_rows,
+                )
+            if xa_out is not None:
+                xa_out.append(xa_kv)
+            return res
         if xa_kv is None and not raw_batchable:
             # Defensive: a caller deferred the encode but this attempt
             # can't ride the batcher — encode here.
@@ -714,6 +807,11 @@ class SttEngine:
             xa_kv_draft is not None
             and temperature <= 0.0
             and beam_size <= 1
+            # Speculative decode is a single-launch latency optimization
+            # over EXACT greedy output; an abortable request takes the
+            # chunked greedy path below instead — identical tokens, plus
+            # mid-decode cancellation (stt_engine.cpp:215-219 parity).
+            and should_abort is None
         ):
             from ..models.speculative import decode_window_spec
 
@@ -741,11 +839,11 @@ class SttEngine:
             if raw_batchable:
                 fut = batcher.submit(
                     window_audio, init_tokens, sot_index,
-                    max_tokens=SAMPLE_LEN, should_abort=should_abort,
+                    max_tokens=sample_len, should_abort=should_abort,
                 )
             else:
                 fut = batcher.submit_encoded(
-                    xa_kv, init_tokens, sot_index, max_tokens=SAMPLE_LEN,
+                    xa_kv, init_tokens, sot_index, max_tokens=sample_len,
                     should_abort=should_abort,
                 )
             out = fut.result(
@@ -783,6 +881,7 @@ class SttEngine:
                         prefill_len=prefill_len, xa_f=xa_f,
                         use_timestamps=True,
                     ),
+                    should_abort=should_abort,
                 )
                 return fut.result(
                     timeout=max(
@@ -796,6 +895,7 @@ class SttEngine:
                     sot_index, self.ids, self.suppress_mask,
                     beam_size=beam_size, max_len=max_len,
                     prefill_len=prefill_len, self_dtype=self.self_dtype,
+                    should_abort=should_abort,
                 )
         if temperature > 0.0 and best_of > 1:
             with self._mesh_ctx():
@@ -806,6 +906,7 @@ class SttEngine:
                     best_of=best_of, max_len=max_len,
                     prefill_len=prefill_len, self_dtype=self.self_dtype,
                     cvalid_rows=self.settings.cvalid_rows,
+                    should_abort=should_abort,
                 )
         with self._mesh_ctx():
             return decode_window(
@@ -814,6 +915,7 @@ class SttEngine:
                 self._next_rng(), max_len=max_len, prefill_len=prefill_len,
                 self_dtype=self.self_dtype,
                 cvalid_rows=self.settings.cvalid_rows,
+                should_abort=should_abort,
             )
 
     def _transcribe_longform(
@@ -828,6 +930,23 @@ class SttEngine:
         sp = tok.special
         ids = self.ids
         temperature0, beam_size, best_of = self._decode_options(options)
+        sample_len = token_cap_bucket(options.max_decode_tokens)
+        no_ts = (
+            s.no_timestamps
+            if options.no_timestamps is None
+            else options.no_timestamps
+        )
+
+        # Beam-strategy requests always decode at FULL audio ctx: beam is
+        # the accuracy-max configuration (audio_ctx cropping is a
+        # speed/accuracy knob aimed at greedy/streaming ticks), and the
+        # gang coalescer then needs exactly one XLA shape class per batch
+        # bucket — all pre-compiled in warmup() — instead of batch×ctx
+        # classes whose first live coalescence would pay a serve-time
+        # compile (VERDICT r3 #8).
+        beam_full_ctx = beam_size > 1 and temperature0 <= 0.0
+        if beam_full_ctx:
+            options = dataclasses.replace(options, audio_ctx=0)
 
         language, lang_prob, xa_kv_w0, xa_ctx_w0 = self._resolve_language(
             audio, options
@@ -874,6 +993,7 @@ class SttEngine:
                 self.draft_params is not None
                 and temperature0 <= 0.0
                 and beam_size <= 1
+                and options.should_abort is None  # see _decode_one
                 and (
                     s.parallel_requests == 1
                     or self._get_batcher(
@@ -893,16 +1013,14 @@ class SttEngine:
                 # it (one encoder launch per default-config request, not
                 # two).
                 xa_kv = xa_kv_w0
-            elif (
-                temperature0 <= 0.0
-                and beam_size <= 1
-                and s.parallel_requests > 1
-            ):
-                # Greedy-batcher window: defer the encode to the
-                # batcher's admission tick so a burst of concurrent
-                # requests shares ONE batched encoder launch
-                # (_decode_one submits the raw window; the cross-KV
-                # comes back with the result for timestamps/fallback).
+            elif temperature0 <= 0.0 and beam_size <= 1:
+                # Greedy window: defer the encode into _decode_one. At
+                # parallel_requests > 1 the batcher's admission tick
+                # batches the encoder launch across every concurrently-
+                # arriving request; at parallel_requests == 1 the fused
+                # encode+decode executable saves a dispatch round trip
+                # (the cross-KV comes back either way for
+                # timestamps/fallback reuse).
                 xa_kv = None
             else:
                 xa_kv = self._encode_window(window[None], n_ctx_w)
@@ -932,7 +1050,7 @@ class SttEngine:
                     t, beam_size, best_of, should_abort=options.should_abort,
                     xa_kv_draft=xa_kv_draft if t <= 0.0 else None,
                     window_audio=window if xa_kv is None else None,
-                    n_ctx=n_ctx_w, xa_out=xa_holder,
+                    n_ctx=n_ctx_w, xa_out=xa_holder, sample_len=sample_len,
                 )
                 if xa_kv is None and xa_holder:
                     xa_kv = xa_holder[0]  # batcher-returned cross-KV
@@ -978,7 +1096,7 @@ class SttEngine:
             # reference's token_timestamps=true contract). One extra
             # teacher-forced pass per window; window-relative seconds.
             token_times = None
-            if segments and not s.no_timestamps:
+            if segments and not no_ts:
                 try:
                     from ..models.timestamps import compute_token_times
 
@@ -993,67 +1111,12 @@ class SttEngine:
                 except Exception:  # noqa: BLE001 — timestamps are best-effort
                     token_times = None
 
-            for seg in segments:
-                raw_text = tok.decode(seg["tokens"])
-                text = clean_utf8(raw_text).strip()
-                if is_hallucination(text):
-                    continue
-                probs = [float(np.exp(lp)) for lp in seg["logprobs"]]
-                avg_p = float(np.mean(probs)) if probs else 0.0
-                if avg_p < s.min_segment_avg_prob:
-                    continue  # quality gate (stt_engine.cpp:305-311)
-
-                t0_cs = base_cs + seg["t0"]
-                t1_cs = base_cs + seg["t1"]
-                # Segment slice for prosody (stt_engine.cpp:313-334).
-                s0 = min(max(0, int(t0_cs / 100.0 * SAMPLE_RATE)), n)
-                s1 = min(max(s0, int(t1_cs / 100.0 * SAMPLE_RATE)), n)
-                if s1 - s0 >= 160:
-                    tags = extract_prosody(
-                        audio[s0:s1], SAMPLE_RATE, options.prosody_opts
-                    )
-                else:
-                    tags = AffectiveTags()
-
-                speaker_id = ""
-                if diarize:
-                    speaker_id = clusterer.assign_or_add(tags.speaker_vec)
-
-                token_datas = []
-                for t_id, lp, pos in zip(
-                    seg["tokens"], seg["logprobs"], seg["positions"]
-                ):
-                    if token_times is not None and pos < len(token_times):
-                        tt0 = base_cs + int(round(token_times[pos, 0] * 100))
-                        tt1 = base_cs + int(round(token_times[pos, 1] * 100))
-                    else:
-                        tt0, tt1 = t0_cs, t1_cs
-                    token_datas.append(
-                        TokenData(
-                            text=clean_utf8(tok.token_piece(t_id)),
-                            p=float(np.exp(lp)),
-                            t0=tt0,
-                            t1=tt1,
-                        )
-                    )
-                results.append(
-                    TranscriptionResult(
-                        text=text,
-                        language=language,
-                        language_probability=lang_prob,
-                        prob=avg_p,
-                        t0=t0_cs,
-                        t1=t1_cs,
-                        tokens=token_datas,
-                        token_count=len(token_datas),
-                        gender_proxy=tags.gender_proxy,
-                        emotion_proxy=tags.emotion_proxy,
-                        arousal=tags.arousal,
-                        valence=tags.valence,
-                        affective=tags,
-                        speaker_id=speaker_id,
-                    )
+            results.extend(
+                self._build_segment_results(
+                    segments, base_cs, token_times, audio, language,
+                    lang_prob, options, clusterer, diarize,
                 )
+            )
 
             # Prompt carry-over: condition on previous text unless the
             # ladder got hot (openai: prompt resets when the temperature
@@ -1106,7 +1169,13 @@ class SttEngine:
         )
         sample_begin = len(init_tokens)
         prefill_len = prompt_bucket(sample_begin)
-        max_len = min(cfg.n_text_ctx, prefill_len + SAMPLE_LEN)
+        sample_len = token_cap_bucket(options.max_decode_tokens)
+        no_ts = (
+            s.no_timestamps
+            if options.no_timestamps is None
+            else options.no_timestamps
+        )
+        max_len = min(cfg.n_text_ctx, prefill_len + sample_len)
         results: list[TranscriptionResult] = []
 
         for g0 in range(0, n_windows, group_size):
@@ -1141,6 +1210,7 @@ class SttEngine:
                             ids, self.suppress_mask, beam_size=beam_size,
                             max_len=max_len, prefill_len=prefill_len,
                             self_dtype=self.self_dtype,
+                            should_abort=options.should_abort,
                         )
                 else:
                     with self._mesh_ctx():
@@ -1150,7 +1220,10 @@ class SttEngine:
                             self._next_rng(), max_len=max_len,
                             prefill_len=prefill_len, self_dtype=self.self_dtype,
                             cvalid_rows=self.settings.cvalid_rows,
+                            should_abort=options.should_abort,
                         )
+                if res is None:  # aborted mid-decode → stop the request
+                    return results
                 toks_np = np.asarray(res.tokens)
                 lens_np = np.asarray(res.lengths)
                 lps_np = np.asarray(res.token_logprobs)
@@ -1182,7 +1255,7 @@ class SttEngine:
 
             # Batched token-time alignment for accepted windows.
             token_times: dict[int, np.ndarray] = {}
-            if accepted and not s.no_timestamps:
+            if accepted and not no_ts:
                 try:
                     from ..models.timestamps import (
                         alignment_scores,
@@ -1247,7 +1320,12 @@ class SttEngine:
         clusterer: SpeakerClusterer,
         diarize: bool,
     ) -> list[TranscriptionResult]:
-        """Shared per-segment post-processing (gates, prosody, clustering)."""
+        """Shared per-segment post-processing (gates, prosody, clustering).
+
+        The single post-processing loop for BOTH long-form paths (sequential
+        and batched), mirroring the reference's one segment loop
+        (stt_engine.cpp:266-334)."""
+        s = self.settings
         tok = self.tokenizer
         n = audio.shape[0]
         out: list[TranscriptionResult] = []
@@ -1313,6 +1391,37 @@ def _encode_audio_op(cfg, params, audio, kv_bits: int):
     return precompute_xa_kv(
         cfg, params, encoder_apply(cfg, params, mel), kv_bits
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "kv_bits", "ids", "max_len", "prefill_len", "self_dtype",
+        "cvalid_rows",
+    ),
+)
+def _encode_decode_op(
+    cfg, params, audio, kv_bits: int, tinit, sample_begin, sot_index, ids,
+    suppress_mask, temperature, rng, max_len, prefill_len, self_dtype,
+    cvalid_rows,
+):
+    """Single-stream serving fast path: mel → encoder → cross-KV precompute
+    → greedy decode as ONE executable (one dispatch round trip per tick
+    instead of two). Returns (xa_kv, DecodeResult); the cross-KV feeds the
+    fallback-ladder rungs and the DTW alignment pass without re-encoding."""
+    from ..models.whisper import encoder_apply, precompute_xa_kv
+
+    mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
+    xa_kv = precompute_xa_kv(
+        cfg, params, encoder_apply(cfg, params, mel), kv_bits
+    )
+    res = decode_window(
+        cfg, params, xa_kv, tinit, sample_begin, sot_index, ids,
+        suppress_mask, temperature, rng, max_len=max_len,
+        prefill_len=prefill_len, self_dtype=self_dtype,
+        cvalid_rows=cvalid_rows,
+    )
+    return xa_kv, res
 
 
 @functools.partial(

@@ -57,6 +57,11 @@ class _Item:
     xa_kv: dict  # [L, 1, ...] leaves for one window
     tokens_row: np.ndarray  # [ctx] int32
     future: Future = field(default_factory=Future)
+    # Cooperative mid-decode cancellation (reference abort callback,
+    # stt_engine.cpp:215-219): polled between decode chunks; an aborted
+    # member's future resolves None immediately, and the batched decode
+    # itself stops once EVERY member has aborted.
+    should_abort: Optional[callable] = None
 
 
 class BeamGang:
@@ -108,8 +113,12 @@ class BeamGang:
         xa_kv: dict,
         tokens_row: np.ndarray,
         key: GangKey,
+        should_abort=None,
     ) -> Future:
-        item = _Item(key=key, xa_kv=xa_kv, tokens_row=np.asarray(tokens_row))
+        item = _Item(
+            key=key, xa_kv=xa_kv, tokens_row=np.asarray(tokens_row),
+            should_abort=should_abort,
+        )
         self._q.put(item)
         return item.future
 
@@ -214,6 +223,11 @@ class BeamGang:
         try:
             res = self._decode(gang)
             for i, it in enumerate(gang):
+                if it.future.done():  # aborted mid-decode → already None
+                    continue
+                if res is None:  # every member aborted; decode stopped
+                    it.future.set_result(None)
+                    continue
                 it.future.set_result(
                     DecodeResult(
                         tokens=res.tokens[i : i + 1],
@@ -258,10 +272,28 @@ class BeamGang:
                 for n in names
             }
         tinit = jnp.asarray(np.stack([it.tokens_row for it in items]))
+        gang_abort = None
+        if any(it.should_abort is not None for it in gang):
+            # Chunked decode with per-member cancellation: between chunks,
+            # aborted members resolve None right away (their caller stops
+            # waiting) and the batched decode itself stops only when every
+            # member has aborted — one hung-up client never cancels its
+            # gang-mates' work.
+            def gang_abort():
+                all_gone = True
+                for it in gang:
+                    if it.future.done():
+                        continue
+                    if it.should_abort is not None and it.should_abort():
+                        it.future.set_result(None)
+                    else:
+                        all_gone = False
+                return all_gone
+
         return decode_window_beam(
             self.cfg, self.params, xa_kv, tinit,
             key.sample_begin, key.sot_index, self.ids, self.suppress_mask,
             beam_size=key.beam_size, max_len=key.max_len,
             use_timestamps=key.use_timestamps, prefill_len=key.prefill_len,
-            self_dtype=self.self_dtype,
+            self_dtype=self.self_dtype, should_abort=gang_abort,
         )

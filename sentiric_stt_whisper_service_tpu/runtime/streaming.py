@@ -26,6 +26,15 @@ from .engine import RequestOptions, SttEngine, TranscriptionResult
 
 MAX_BUFFER_SAMPLES = 16000 * 30  # hard cap (grpc_server.cpp:132)
 COMMIT_GUARD_CS = 100  # don't commit segments ending within 1 s of the head
+# Partial-tick decode budget: sampled tokens per second of buffered audio
+# (~3× real speech density, so genuine content never truncates) plus a
+# timestamp/segment margin; bucketed by the engine (TOKEN_CAP_BUCKETS).
+# The cap keeps per-tick decode work proportional to the UNCOMMITTED tail
+# instead of the full 224-token window budget — the difference between a
+# ~1.1 s and a sub-0.5 s tick at large-v3 (docs/PERF.md).
+TICK_TOKENS_PER_SECOND = 14
+TICK_CAP_MIN = 32
+TICK_CAP_MAX = 128
 
 
 @dataclasses.dataclass
@@ -81,11 +90,32 @@ class StreamingSession:
         return events
 
     # ------------------------------------------------------------------
-    def _transcribe(self, pcm: np.ndarray) -> list[TranscriptionResult]:
+    def _transcribe(
+        self, pcm: np.ndarray, partial: bool = False
+    ) -> list[TranscriptionResult]:
         opts = dataclasses.replace(
             self.options,
             prompt=self.carried_text if self.incremental else self.options.prompt,
         )
+        if partial and self.incremental:
+            # Incremental partial tick: bound the decode by the buffered
+            # tail's plausible token count, and skip the DTW alignment
+            # pass unless a segment could COMMIT this tick (partials
+            # carry no word times on the wire; committed finals do, and
+            # the commit precondition — the previous tick's first stable
+            # segment ends ≥1 s before the head — is computable before
+            # decoding). EOS finalize() stays full-quality.
+            dur = pcm.size / 16000.0
+            opts.max_decode_tokens = min(
+                TICK_CAP_MAX,
+                max(TICK_CAP_MIN, int(dur * TICK_TOKENS_PER_SECOND) + 8),
+            )
+            buffer_cs = int(round(dur * 100))
+            commit_candidate = bool(self._prev_partial) and (
+                self._prev_partial[0][2] < buffer_cs - COMMIT_GUARD_CS
+            )
+            if not commit_candidate:
+                opts.no_timestamps = True
         return self.engine.transcribe_pcm16(pcm, 16000, opts)
 
     def _offset(self, res: TranscriptionResult) -> TranscriptionResult:
@@ -103,7 +133,7 @@ class StreamingSession:
     def _tick(self) -> list[StreamEvent]:
         events: list[StreamEvent] = []
         pcm = self.buffer.read()
-        results = [r for r in self._transcribe(pcm) if r.text]
+        results = [r for r in self._transcribe(pcm, partial=True) if r.text]
         self.last_processed = self.buffer.size
 
         if self.incremental and results:

@@ -53,9 +53,24 @@ def test_batched_vs_sequential_equivalent_windows(engine):
         audio, 16000,
         RequestOptions(language="en", condition_on_previous_text=False),
     )
-    seq_w0 = [r.text for r in seq_res if r.t1 <= 3000]
-    bat_w0 = [r.text for r in bat_res if r.t1 <= 3000]
-    assert seq_w0 == bat_w0
+    seq_w0 = [r for r in seq_res if r.t1 <= 3000]
+    bat_w0 = [r for r in bat_res if r.t1 <= 3000]
+    assert [r.text for r in seq_w0] == [r.text for r in bat_w0]
+    # Full post-processing equivalence: prosody / speaker / token times
+    # must also agree (the segment loop is shared; lock that in).
+    for a, b in zip(seq_w0, bat_w0):
+        assert (a.t0, a.t1) == (b.t0, b.t1)
+        assert a.prob == pytest.approx(b.prob)
+        assert a.gender_proxy == b.gender_proxy
+        assert a.emotion_proxy == b.emotion_proxy
+        assert a.arousal == pytest.approx(b.arousal)
+        assert a.valence == pytest.approx(b.valence)
+        assert a.speaker_id == b.speaker_id
+        assert np.allclose(a.affective.speaker_vec, b.affective.speaker_vec)
+        assert len(a.tokens) == len(b.tokens)
+        for ta, tb in zip(a.tokens, b.tokens):
+            assert ta.text == tb.text
+            assert ta.p == pytest.approx(tb.p)
 
 
 def test_single_window_unaffected(engine):

@@ -291,3 +291,67 @@ def test_beam_eot_early_banks_and_terminates(setup):
         assert float(res.avg_logprobs[b]) == pytest.approx(
             float(res.sum_logprobs[b]) / n, abs=1e-5
         )
+
+
+def test_beam_abortable_chunked_output_identical(setup):
+    """The host-chunked abortable path (should_abort given, never firing)
+    must be output-identical to the single-launch impl — the chunk
+    boundary only splits the while_loop, never the math (reference abort
+    contract: stt_engine.cpp:215-219)."""
+    cfg, params, xa_kv = setup
+    tok = fallback_tokenizer()
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, ()))
+    sot = tok.sot_sequence("en")
+    B = 2
+    tinit = np.full((B, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[:, : len(sot)] = sot
+    tinit = jnp.asarray(tinit)
+
+    a = decode_window_beam(
+        cfg, params, xa_kv, tinit, len(sot), 0, ids, sup, beam_size=3,
+        max_len=len(sot) + 40,
+    )
+    calls = []
+    b = decode_window_beam(
+        cfg, params, xa_kv, tinit, len(sot), 0, ids, sup, beam_size=3,
+        max_len=len(sot) + 40,
+        should_abort=lambda: calls.append(1) is None and False,
+        abort_chunk=16,
+    )
+    assert len(calls) >= 3  # polled between chunks
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(b.lengths))
+    np.testing.assert_allclose(
+        np.asarray(a.sum_logprobs), np.asarray(b.sum_logprobs), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.token_logprobs), np.asarray(b.token_logprobs), atol=1e-5
+    )
+
+
+def test_beam_abort_stops_mid_decode(setup):
+    """Flipping the abort callback after N polls stops the window before
+    max_len and returns None."""
+    cfg, params, xa_kv = setup
+    tok = fallback_tokenizer()
+    ids = TokenIds.from_tokenizer(tok)
+    sup = jnp.asarray(build_suppress_mask(cfg.n_vocab, ids, ()))
+    sot = tok.sot_sequence("en")
+    tinit = np.full((2, cfg.n_text_ctx), ids.eot, np.int32)
+    tinit[:, : len(sot)] = sot
+    tinit = jnp.asarray(tinit)
+
+    polls = []
+
+    def abort():
+        polls.append(1)
+        return len(polls) > 2
+
+    res = decode_window_beam(
+        cfg, params, xa_kv, tinit, len(sot), 0, ids, sup, beam_size=3,
+        max_len=len(sot) + 120, should_abort=abort, abort_chunk=8,
+    )
+    assert res is None
+    # stopped after ~2 chunks, far short of the 120-step budget
+    assert len(polls) <= 5

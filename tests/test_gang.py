@@ -285,3 +285,123 @@ def test_engine_routes_beam_through_gang(stack):
         assert eng._beam_gang is not None  # the gang path was engaged
     finally:
         eng.shutdown()
+
+
+def test_gang_warmup_bucketed_ctx_no_serve_compile(monkeypatch):
+    """Under AUDIO_CTX=-1 with beam defaults, warmup() must pre-compile
+    every executable the first live coalescence of two requests needs
+    (VERDICT r3 #8): beam-strategy windows collapse to FULL audio ctx
+    (engine._transcribe_longform), so the warmup set is one shape class
+    per gang batch bucket — no serve-time XLA compile may fire, counted
+    via jax_log_compiles."""
+    import logging
+
+    import sentiric_stt_whisper_service_tpu.runtime.gang as gang_mod
+    from sentiric_stt_whisper_service_tpu.runtime.engine import (
+        RequestOptions,
+        SttEngine,
+    )
+
+    s = Settings(
+        enable_vad=False, beam_size=2, best_of=1, parallel_requests=2,
+        compute_type="float32", gang_window_ms=1000, audio_ctx=-1,
+        max_batch_size=2, quality_gate="off", logprob_threshold=-1e9,
+        no_speech_threshold=2.0, min_segment_avg_prob=0.0,
+        no_timestamps=True,
+    )
+    batches = []
+    orig = gang_mod.decode_window_beam
+
+    def spy(cfg_, params_, xa_kv, tinit, *a, **kw):
+        batches.append(int(tinit.shape[0]))
+        return orig(cfg_, params_, xa_kv, tinit, *a, **kw)
+
+    monkeypatch.setattr(gang_mod, "decode_window_beam", spy)
+    eng = SttEngine(s, model_name="test", random_init=True)
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Grab(level=logging.WARNING)
+    loggers = [
+        logging.getLogger("jax._src.interpreters.pxla"),
+        logging.getLogger("jax._src.dispatch"),
+    ]
+    try:
+        eng.warmup()
+        jax.config.update("jax_log_compiles", True)
+        for lg in loggers:
+            lg.addHandler(handler)
+
+        rng = np.random.default_rng(0)
+        # 2 s clip: audio_ctx=-1 would bucket this at 384 positions, but
+        # the beam strategy must force the full-ctx class warmup compiled.
+        audio = (rng.standard_normal(32000) * 3276).astype(np.int16)
+        outs = [None, None]
+        errs = []
+
+        def go(i):
+            try:
+                outs[i] = eng.transcribe_pcm16(
+                    audio, 16000, RequestOptions(language="en")
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        # Non-vacuous: the two requests actually coalesced into one
+        # gang decode (batch 2) during the live phase.
+        assert 2 in batches, batches
+        serve_compiles = [
+            m
+            for m in records
+            if "Compiling" in m
+            and any(k in m for k in ("decode", "beam", "encode", "align",
+                                     "detect", "mel", "audio"))
+        ]
+        assert not serve_compiles, serve_compiles
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for lg in loggers:
+            lg.removeHandler(handler)
+        eng.shutdown()
+
+
+def test_engine_beam_abort_stops_mid_decode(stack):
+    """A cancelled request (should_abort flips true mid-window) stops a
+    BEAM decode inside the window — reference abort-callback semantics
+    (stt_engine.cpp:215-219) on the gang path the default config uses."""
+    from sentiric_stt_whisper_service_tpu.runtime.engine import (
+        RequestOptions,
+        SttEngine,
+    )
+
+    s = Settings(
+        enable_vad=False, beam_size=3, best_of=1, parallel_requests=2,
+        compute_type="float32", gang_window_ms=30,
+    )
+    eng = SttEngine(s, model_name="test", random_init=True)
+    try:
+        rng = np.random.default_rng(1)
+        audio = (rng.standard_normal(32000) * 3276).astype(np.int16)
+        polls = []
+
+        def abort():
+            polls.append(1)
+            # let language-detect/encode pass, then cancel mid-decode
+            return len(polls) > 3
+
+        out = eng.transcribe_pcm16(
+            audio, 16000, RequestOptions(language="en", should_abort=abort)
+        )
+        assert out == []  # window aborted before any segment completed
+        assert len(polls) > 3  # the callback WAS polled inside the decode
+    finally:
+        eng.shutdown()

@@ -57,6 +57,12 @@ def main(argv=None):
     ap.add_argument("--language", default="en")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--json", dest="json_out")
+    ap.add_argument(
+        "--ensure-model",
+        action="store_true",
+        help="download the GGML checkpoint first (checkpoint.manager; "
+        "fails with a clear error on zero-egress machines)",
+    )
     args = ap.parse_args(argv)
 
     from sentiric_stt_whisper_service_tpu.audio import parse_wav_robust
@@ -74,6 +80,23 @@ def main(argv=None):
         beam_size=args.beam,
         enable_vad=False,
     )
+    if args.ensure_model and not args.random_init:
+        from sentiric_stt_whisper_service_tpu.checkpoint.manager import (
+            ModelManager,
+        )
+
+        try:
+            ModelManager.ensure_model(settings)
+        except Exception as e:  # noqa: BLE001 — actionable message
+            print(
+                f"error: could not provision ggml-{args.model_size}.bin "
+                f"into {args.model_dir}: {e}\n"
+                "On zero-egress machines, place the checkpoint there "
+                "manually (huggingface.co/ggerganov/whisper.cpp) and rerun "
+                "without --ensure-model.",
+                file=sys.stderr,
+            )
+            return 2
     engine = SttEngine(settings, random_init=args.random_init)
 
     refs: dict[str, str] = {}
@@ -105,8 +128,10 @@ def main(argv=None):
             "rtf": round(m.processing_time_ms / 1000.0 / max(dur, 1e-9), 4),
             "tokens": m.token_count,
         }
-        if path in refs:
-            r_words = normalize(refs[path])
+        # refs key: full path, or basename (the fixtures refs.json form).
+        ref_text = refs.get(path, refs.get(os.path.basename(path)))
+        if ref_text is not None:
+            r_words = normalize(ref_text)
             h_words = normalize(hyp)
             row["wer"] = round(wer(r_words, h_words), 4)
             total_ref_words += len(r_words)
