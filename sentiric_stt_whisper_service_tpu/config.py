@@ -74,7 +74,12 @@ class Settings:
     parallel_requests: int = 2
     request_queue_timeout_ms: int = 5000
     device: str = "auto"
-    compute_type: str = "int8"
+    # "int4" (int8 weights + int4 cross-KV) is the measured-best serving
+    # config on TPU: +8.3% RTFx over int8 at the headline batch in a
+    # same-process A/B (tools/bench_ab_compute.py; docs/PERF.md
+    # "Compute-config decision"). The reference's own default is "int8"
+    # (config.h:45) — set COMPUTE_TYPE=int8 for strict parity.
+    compute_type: str = "int4"
     # Self-attention KV-cache storage: "auto" stores float8_e4m3fn when
     # compute_type is quantized (int8/int4) and bf16 otherwise; "f8" /
     # "bf16" force it. f8 halves the per-step self-slab HBM stream

@@ -53,6 +53,12 @@ def main():
     rng = np.random.default_rng(0)
     audio = jnp.asarray((rng.standard_normal((B, N_SAMPLES)) * 0.05).astype(np.float32))
 
+    # Self-KV slab dtype mirrors bench.py's auto policy (f8 for the
+    # quantized compute types) so the A/B decision maps 1:1 onto the
+    # headline configuration; BENCH_SELF_CACHE=bf16 overrides.
+    sc = os.environ.get("BENCH_SELF_CACHE", "auto").lower()
+    self_dtype = None if sc in ("bf16", "bfloat16") else jnp.float8_e4m3fn
+
     def make(bits):
         @jax.jit
         def pipeline(p, a):
@@ -61,6 +67,7 @@ def main():
             return decode_window(
                 cfg, p, xa_kv, tinit, len(sot), 0, ids, sup,
                 jnp.float32(0.0), jax.random.key(1), max_len=max_len,
+                self_dtype=self_dtype,
             )
         return pipeline
 
