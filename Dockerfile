@@ -1,8 +1,11 @@
 # TPU-native Sentiric STT service.
 #
 # Counterpart of the reference's two-stage CUDA/CPU builds
-# (/root/reference/Dockerfile, Dockerfile.gpu): one image that runs against
-# TPU VMs (libtpu via the jax[tpu] wheel) and falls back to CPU elsewhere.
+# (/root/reference/Dockerfile, Dockerfile.gpu + the latest/latest-gpu CI
+# matrix, build-and-push.yml:17-27): ONE Dockerfile, two variants by
+# build-arg — `latest` ships the TPU wheel (libtpu via jax[tpu]),
+# `latest-cpu` ships plain CPU jax for dev/edge hosts. The CI matrix
+# builds both.
 
 FROM python:3.12-slim AS base
 
@@ -12,9 +15,12 @@ RUN apt-get update && apt-get install -y --no-install-recommends \
 
 WORKDIR /app
 
-# TPU wheels; harmless on CPU-only hosts (jax falls back).
+# JAX_TARGET="jax[tpu]" (default) pulls libtpu for TPU VMs — harmless on
+# CPU-only hosts (jax falls back); JAX_TARGET="jax" builds the smaller
+# CPU-only image.
+ARG JAX_TARGET="jax[tpu]"
 RUN pip install --no-cache-dir \
-        "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
+        "${JAX_TARGET}" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
         aiohttp grpcio prometheus-client tiktoken regex safetensors scipy optax
 
 COPY pyproject.toml ./
