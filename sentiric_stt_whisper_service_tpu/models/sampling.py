@@ -312,6 +312,7 @@ def decode_window(
     cvalid_rows: Optional[int] = None,
     should_abort=None,
     abort_chunk: int = 32,
+    sample_cap: Optional[int] = None,
 ) -> Optional[DecodeResult]:
     """Decode one batch of 30 s windows to EOT, fully on device.
 
@@ -321,6 +322,13 @@ def decode_window(
     bucket of ``sample_begin``); positions in [sample_begin, prefill_len)
     hold EOT padding whose K/V entries are never attended — each decode
     step overwrites its cache slot before reading it.
+
+    ``sample_cap`` bounds the number of SAMPLED tokens relative to
+    ``sample_begin`` (traced, so the bound rides the while_loop condition
+    without a new shape class). This matters when ``prefill_len`` is
+    pinned wider than the prompt bucket (the engine's streaming-tick
+    classes): ``max_len`` alone would then allow
+    ``max_len - sample_begin > cap`` samples.
 
     ``self_dtype`` overrides the self-KV-cache storage dtype (e.g.
     ``jnp.float8_e4m3fn`` — engine ``self_cache`` policy; see
@@ -335,15 +343,29 @@ def decode_window(
         prefill_len = prompt_bucket(int(sample_begin))
     max_len = max_len or cfg.n_text_ctx
     if should_abort is None:
+        # ``sample_begin`` may be a traced scalar here (decode_window is
+        # called from inside jitted wrappers) — keep the cap arithmetic
+        # trace-safe.
+        if sample_cap is None:
+            hard = jnp.int32(max_len)
+        else:
+            hard = jnp.minimum(
+                jnp.int32(max_len),
+                jnp.asarray(sample_begin, jnp.int32) + jnp.int32(sample_cap),
+            )
         return _decode_window_impl(
             cfg, params, xa_kv, tokens_init,
             jnp.asarray(sample_begin, jnp.int32),
             jnp.asarray(sot_index, jnp.int32),
-            ids, suppress_mask, temperature, rng, max_len, use_timestamps,
+            ids, suppress_mask, temperature, rng,
+            hard, max_len, use_timestamps,
             prefill_len, self_dtype, cvalid_rows,
         )
     if should_abort():
         return None
+    hard_stop = max_len
+    if sample_cap is not None:
+        hard_stop = min(max_len, int(sample_begin) + int(sample_cap))
     import numpy as _np
 
     sb = jnp.asarray(sample_begin, jnp.int32)
@@ -353,10 +375,10 @@ def decode_window(
         self_dtype,
     )
     pos = int(sample_begin)
-    while pos < max_len:
+    while pos < hard_stop:
         if should_abort():
             return None
-        until = min(pos + max(1, abort_chunk), max_len)
+        until = min(pos + max(1, abort_chunk), hard_stop)
         state = _decode_chunk_impl(
             cfg, params, xa_dev, state, jnp.int32(until), sb, ids,
             suppress_mask, temperature, max_len, use_timestamps, cvalid_rows,
@@ -545,6 +567,7 @@ def _decode_window_impl(
     suppress_mask: jnp.ndarray,
     temperature: jnp.ndarray,
     rng: jax.Array,
+    until_pos: jnp.ndarray,  # traced scalar int32 ≤ max_len (sample cap)
     max_len: int,
     use_timestamps: bool,
     prefill_len: int,
@@ -559,7 +582,7 @@ def _decode_window_impl(
     )
     step_fn, cond_fn = _decode_loop_fns(
         cfg, params, xa_dev, ids, suppress_mask, temperature, sample_begin,
-        use_timestamps, cvalid_rows, until=max_len,
+        use_timestamps, cvalid_rows, until=until_pos,
     )
     state = jax.lax.while_loop(cond_fn, step_fn, state)
     return _decode_result(state, no_speech_probs, sample_begin, ids)

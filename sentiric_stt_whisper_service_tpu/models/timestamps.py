@@ -42,13 +42,16 @@ def alignment_scores(
     xa_kv = unpack_xa_kv(xa_kv)  # int4 carrier → native int4 in-jit
     B, T = tokens.shape
     kv = init_kv_cache(cfg, B, max(64, -(-T // 64) * 64))
-    _, _, cross_w = decoder_apply(
-        cfg, params, tokens, jnp.int32(0), kv, xa_kv, collect_cross_attn=True
+    # Reduced collection: the layer/head mean is accumulated INSIDE the
+    # decoder scan ([B, T, F] carry) instead of materializing the stacked
+    # [L, B, H, T, F] weights through HBM (~1 GB / ~2 s per pass at
+    # large-v3 — docs/PERF.md "tick anatomy").
+    _, _, w = decoder_apply(
+        cfg, params, tokens, jnp.int32(0), kv, xa_kv,
+        collect_cross_attn=True,
+        cross_attn_layer_begin=cfg.n_text_layer // 2,
     )
-    # cross_w: [L, B, H, T, F]
-    half = cfg.n_text_layer // 2
-    w = cross_w[half:].astype(jnp.float32)  # upper layers
-    w = w.mean(axis=(0, 2))  # [B, T, F]
+    # w: [B, T, F], mean over upper-half layers and all heads.
     # Normalize per token position (scale-invariant for DTW).
     mean = w.mean(axis=-1, keepdims=True)
     std = w.std(axis=-1, keepdims=True) + 1e-6
@@ -123,11 +126,17 @@ def token_boundaries(
 
 
 def align_bucket(n: int) -> int:
-    """Sequence-length shape class for the alignment pass (multiples of 32):
-    bounds XLA recompiles to ~14 executables instead of one per distinct
-    token count. Padding rows are causal-masked garbage, sliced off before
-    the DTW."""
-    return max(32, -(-n // 32) * 32)
+    """Sequence-length shape class for the alignment pass. COARSE buckets
+    (4 classes) so engine.warmup() can pre-compile the whole set and no
+    live streaming tick ever pays a serve-time XLA compile for a new
+    token count (docs/PERF.md "tick anatomy"). Padding rows are
+    causal-masked garbage, sliced off before the DTW; with the reduced
+    in-scan collection the extra padded positions cost ~nothing.
+    Callers clamp to cfg.n_text_ctx."""
+    for b in (64, 128, 256, 448):
+        if n <= b:
+            return b
+    return -(-n // 32) * 32
 
 
 def compute_token_times(
@@ -141,7 +150,7 @@ def compute_token_times(
     """[n_sampled, 2] start/end seconds for the sampled tokens of one
     window (B=1 path used by the engine)."""
     T = len(full_tokens)
-    padded = np.zeros((align_bucket(T),), np.int64)
+    padded = np.zeros((min(align_bucket(T), cfg.n_text_ctx),), np.int64)
     padded[:T] = full_tokens
     toks = jnp.asarray(padded[None], jnp.int32)
     scores = np.asarray(alignment_scores(cfg, params, xa_kv, toks))[0]

@@ -694,6 +694,7 @@ def decoder_apply(
     kv_cache: dict,
     xa_kv: dict,
     collect_cross_attn: bool = False,
+    cross_attn_layer_begin: Optional[int] = None,
 ):
     """Run the decoder on ``tokens`` (prefill T>1 or single step T=1),
     updating the self-attn KV cache in place at [pos_offset, pos_offset+T).
@@ -701,11 +702,20 @@ def decoder_apply(
     Returns (logits [B, T, n_vocab] fp32, new_kv_cache, cross_attn_weights).
     ``cross_attn_weights`` is [L, B, H, T, 1500] when ``collect_cross_attn``
     (for DTW word timestamps), else None.
+
+    ``cross_attn_layer_begin`` (with ``collect_cross_attn``) switches to
+    the REDUCED collection the DTW pass actually consumes: the
+    head-mean of the weights, accumulated over layers ≥ the threshold
+    INSIDE the scan, returned as [B, T, F]. The stacked form writes+reads
+    an [L, B, H, T, F] slab through HBM (~1 GB at large-v3, measured
+    ~2 s per alignment pass on chip — docs/PERF.md "tick anatomy");
+    the reduction carries one [B, T, F] f32 accumulator instead.
     """
     dec = params["decoder"]
     B, T = tokens.shape
     h = cfg.n_text_head
     ctx = cfg.n_text_ctx
+    collect_reduced = collect_cross_attn and cross_attn_layer_begin is not None
 
     if T == 1 and not collect_cross_attn:
         # Shared-position single-token step → the fused decode path. The
@@ -740,7 +750,10 @@ def decoder_apply(
     # one leading-axis dynamic update per layer — scan xs→ys round-trips
     # copy the slab every layer (measured ~2 ms/step at large-v3 B=8).
     def block(carry, inputs):
-        hx, k_all, v_all = carry
+        if collect_reduced:
+            hx, k_all, v_all, acc = carry
+        else:
+            hx, k_all, v_all = carry
         layer, xa, li = inputs
 
         # -- causal self-attention over the cache slab
@@ -819,13 +832,31 @@ def decoder_apply(
         hx = hx + dense(ca, layer["cross_attn"]["o"])
 
         hx = hx + mlp(layer_norm(hx, layer["mlp_ln"]), layer["mlp_1"], layer["mlp_2"])
+        if collect_reduced:
+            sel = jnp.where(li >= cross_attn_layer_begin, 1.0, 0.0)
+            acc = acc + sel * w.astype(jnp.float32).mean(axis=1)  # [B,T,F]
+            return (hx, k_all, v_all, acc), None
         return (hx, k_all, v_all), (w if collect_cross_attn else None)
 
-    (x, new_k, new_v), cross_w = jax.lax.scan(
-        block,
-        (x, kv_cache["k"], kv_cache["v"]),
-        (dec["blocks"], xa_kv, jnp.arange(cfg.n_text_layer)),
-    )
+    if collect_reduced:
+        xa_f = (
+            xa_kv["k_scale"].shape[-1] if "k_scale" in xa_kv
+            else xa_kv["k"].shape[-1]
+        )
+        acc0 = jnp.zeros((B, T, xa_f), jnp.float32)
+        (x, new_k, new_v, acc), _ = jax.lax.scan(
+            block,
+            (x, kv_cache["k"], kv_cache["v"], acc0),
+            (dec["blocks"], xa_kv, jnp.arange(cfg.n_text_layer)),
+        )
+        n_sel = max(1, cfg.n_text_layer - cross_attn_layer_begin)
+        cross_w = acc / n_sel
+    else:
+        (x, new_k, new_v), cross_w = jax.lax.scan(
+            block,
+            (x, kv_cache["k"], kv_cache["v"]),
+            (dec["blocks"], xa_kv, jnp.arange(cfg.n_text_layer)),
+        )
     x = layer_norm(x, dec["ln"])
     logits = tied_logits(x, dec)
     return logits, {"k": new_k, "v": new_v}, cross_w

@@ -289,6 +289,149 @@ def _bucket_len(n: int, sample_rate: int) -> int:
     return size * shift
 
 
+def _np_soft_norm(val, lo, hi):
+    return float(np.clip((val - lo) / (hi - lo), 0.0, 1.0))
+
+
+def _prosody_numeric_np(audio: np.ndarray, sample_rate: int,
+                        opts: ProsodyOptions):
+    """Pure-numpy twin of :func:`prosody_numeric` — the SERVING path.
+
+    The engine calls prosody once per segment per request (and per
+    streaming tick); on a tunneled TPU the jitted form pays transfer
+    round trips that dwarf the ~ms of math, and routing it through the
+    host CPU *jax* backend poisons the shared persistent compilation
+    cache with XLA:CPU AOT entries whose machine-feature stamps differ
+    between the serving and test processes (observed SIGSEGV on
+    deserialize). Plain numpy has no launches, no compiles, no cache —
+    exactly where the reference runs this DSP (prosody_extractor.cpp).
+    Numerics are pinned against the jax oracle by
+    tests/test_prosody.py::test_numpy_twin_matches_jax_oracle."""
+    shift = sample_rate // 100
+    n = audio.shape[0]
+    n_frames = n // shift
+    x = audio[: n_frames * shift].astype(np.float64)
+
+    from scipy.signal import lfilter
+
+    # y[t] = (1-alpha)·y[t-1] + alpha·x[t]  (reference :74-75)
+    filt = lfilter([opts.lpf_alpha], [1.0, -(1.0 - opts.lpf_alpha)], x)
+    frames = x.reshape(n_frames, shift)
+    filt = filt.reshape(n_frames, shift)
+
+    # --- RMS energy + onset peaks (:69-83) ---
+    rms = np.sqrt(np.mean(frames * frames, axis=1))
+    prev_rms = np.concatenate([[0.0], rms[:-1]])
+    peak_count = int(np.sum((rms > 0.05) & (prev_rms <= 0.05)))
+
+    # --- standard ZCR over the filtered frame (:93,111-112) ---
+    nonneg = filt >= 0.0
+    zcr = np.sum(nonneg[:, 1:] != nonneg[:, :-1], axis=1) / shift
+
+    # --- hysteresis cycle counting (:85-110) ---
+    c = np.maximum(0.002, rms * 0.15)[:, None]
+    sign = np.where(filt > c, 1, np.where(filt < -c, -1, 0))
+    pos_of_nz = np.where(sign != 0, np.arange(shift)[None, :], -1)
+    last_nz = np.maximum.accumulate(pos_of_nz, axis=1)
+    prev_nz = np.concatenate(
+        [np.full((n_frames, 1), -1), last_nz[:, :-1]], axis=1
+    )
+    prev_sign = np.where(
+        prev_nz >= 0,
+        np.take_along_axis(sign, np.maximum(prev_nz, 0), axis=1),
+        0,
+    )
+    cycles = np.sum((sign[:, 1:] == -1) & (prev_sign[:, 1:] == 1), axis=1)
+
+    dur_frame = shift / sample_rate
+    f0 = cycles / dur_frame
+    f0_valid = (
+        (rms > 0.015)
+        & (cycles > 0)
+        & (f0 >= opts.min_pitch)
+        & (f0 <= opts.max_pitch)
+    )
+
+    # --- spectral centroid proxy (:121-127) ---
+    k = np.arange(1, shift, dtype=np.float64)
+    diff = np.abs(frames[:, 1:] - frames[:, :-1])
+    power = np.sum(diff, axis=1)
+    weighted = np.sum(diff * k, axis=1)
+    sc = np.where(power > 0, weighted / np.maximum(power, 1e-20), 0.0)
+
+    # --- aggregation (:130-135) ---
+    f0v = np.sort(f0[f0_valid])
+    pitch_mean = float(f0v[len(f0v) // 2]) if f0v.size else 0.0
+    pitch_std = float(np.std(f0[f0_valid])) if f0v.size else 0.0
+    energy_mean = float(np.mean(rms)) if n_frames else 0.01
+    energy_std = float(np.std(rms)) if n_frames else 0.0
+    sc_mean = float(np.mean(sc)) if n_frames else 50.0
+    zcr_mean = float(np.mean(zcr)) if n_frames else 0.1
+
+    # --- octave-error heuristics (:140-148) ---
+    halve1 = pitch_mean > opts.gender_threshold and zcr_mean < 0.024
+    halve2 = (not halve1) and (
+        energy_mean > 0.12 and pitch_mean < 240.0 and sc_mean < 90.0
+    )
+    if halve1 or halve2:
+        pitch_mean *= 0.5
+
+    duration = n / sample_rate
+    speech_rate = peak_count / duration if duration > 0 else 0.0
+
+    # --- gender (:155-163) ---
+    if pitch_mean == 0.0 or energy_mean < 0.018:
+        gender = 0
+    elif zcr_mean < 0.030:
+        gender = 1
+    elif pitch_mean > opts.gender_threshold:
+        gender = 2
+    else:
+        gender = 1
+
+    # --- relative emotion (:166-186) ---
+    if gender == 1:
+        norm_pitch = _np_soft_norm(pitch_mean, 60.0, 180.0)
+    else:
+        norm_pitch = _np_soft_norm(pitch_mean, 160.0, 350.0)
+    norm_bright = _np_soft_norm(sc_mean, 40.0, 150.0)
+    valence = (norm_pitch * 0.4 + norm_bright * 0.6) * 2.0 - 1.0 + 0.35
+    norm_energy = _np_soft_norm(energy_mean, 0.02, 0.20)
+    norm_rate = _np_soft_norm(speech_rate, 2.0, 9.0)
+    arousal = norm_energy * 0.7 + norm_rate * 0.3
+    if arousal > 0.65:
+        emotion = 1 if valence > 0.1 else 2
+    elif arousal < 0.30 and valence < -0.4:
+        emotion = 3
+    else:
+        emotion = 0
+
+    # --- 8-D polarized speaker vector (:191-221) ---
+    if gender == 1:
+        base_pitch = _np_soft_norm(pitch_mean, 60.0, 200.0) * 0.4
+    elif gender == 2:
+        base_pitch = 0.6 + _np_soft_norm(pitch_mean, 160.0, 350.0) * 0.4
+    else:
+        base_pitch = 0.5
+    vec = np.asarray(
+        [
+            base_pitch,
+            _np_soft_norm(sc_mean, 40.0, 250.0),
+            _np_soft_norm(pitch_std, 5.0, 100.0) * 0.1,
+            _np_soft_norm(energy_mean, 0.0, 0.3) * 0.1,
+            _np_soft_norm(zcr_mean, 0.0, 0.5) * 0.8,
+            _np_soft_norm(speech_rate, 1.0, 12.0) * 0.1,
+            arousal * 0.05,
+            ((valence + 1.0) / 2.0) * 0.05,
+        ],
+        np.float32,
+    )
+    return (
+        pitch_mean, pitch_std, energy_mean, energy_std, sc_mean, zcr_mean,
+        arousal, valence, gender, emotion, vec, speech_rate,
+    )
+
+
 def extract_prosody(
     audio: np.ndarray,
     sample_rate: int = 16000,
@@ -299,24 +442,21 @@ def extract_prosody(
     n = audio.shape[0]
     if n < 160:
         return AffectiveTags()
-    padded_len = _bucket_len(n, sample_rate)
-    padded = np.zeros(padded_len, np.float32)
-    padded[:n] = audio
-    r = prosody_numeric(
-        jnp.asarray(padded), jnp.int32(n), sample_rate=sample_rate, opts=opts
+    (pitch_mean, pitch_std, energy_mean, energy_std, sc_mean, zcr_mean,
+     arousal, valence, gender, emotion, vec, speech_rate) = (
+        _prosody_numeric_np(audio, sample_rate, opts)
     )
-    r = jax.tree.map(np.asarray, r)
     return AffectiveTags(
-        gender_proxy=GENDER_CODES[int(r.gender_code)],
-        emotion_proxy=EMOTION_CODES[int(r.emotion_code)],
-        pitch_mean=float(r.pitch_mean),
-        pitch_std=float(r.pitch_std),
-        energy_mean=float(r.energy_mean),
-        energy_std=float(r.energy_std),
-        spectral_centroid=float(r.spectral_centroid),
-        zero_crossing_rate=float(r.zero_crossing_rate),
-        arousal=float(r.arousal),
-        valence=float(r.valence),
-        speaker_vec=r.speaker_vec.astype(np.float32),
-        speech_rate=float(r.speech_rate),
+        gender_proxy=GENDER_CODES[gender],
+        emotion_proxy=EMOTION_CODES[emotion],
+        pitch_mean=pitch_mean,
+        pitch_std=pitch_std,
+        energy_mean=energy_mean,
+        energy_std=energy_std,
+        spectral_centroid=sc_mean,
+        zero_crossing_rate=zcr_mean,
+        arousal=arousal,
+        valence=valence,
+        speaker_vec=vec,
+        speech_rate=speech_rate,
     )

@@ -72,6 +72,12 @@ SAMPLE_LEN = 224  # max sampled tokens per window (whisper: n_text_ctx // 2)
 # every distinct decode length bound is its own XLA executable, so caps
 # round UP to one of these.
 TOKEN_CAP_BUCKETS = (16, 32, 64, 128, SAMPLE_LEN)
+# Fixed prefill bucket for CAPPED greedy decodes (streaming partial
+# ticks): one XLA shape class per cap regardless of carried-prompt
+# length. 128 covers [sot_prev] + the streaming session's trimmed carry
+# (≤ ~100 tokens) + the sot sequence; longer prompts fall back to the
+# 232 bucket (see _decode_one).
+TICK_PREFILL = 128
 
 
 def token_cap_bucket(n: int) -> int:
@@ -312,6 +318,12 @@ class SttEngine:
         self._ready = True
         self._rng = jax.random.key(int(time.time()) & 0x7FFFFFFF)
         self._rng_lock = threading.Lock()
+        # Cached device constants for the greedy serving fast path: a
+        # fresh jnp scalar / key per request costs one host→device round
+        # trip EACH on a tunneled TPU (docs/PERF.md "tick anatomy"), and
+        # greedy decodes never consume randomness.
+        self._zero_temp = jnp.float32(0.0)
+        self._greedy_key = jax.random.key(0)
         self._batchers: dict[int, "ContinuousBatcher"] = {}
         self._batcher_lock = threading.Lock()
         self._beam_gang = None  # lazy (runtime/gang.py)
@@ -427,6 +439,30 @@ class SttEngine:
                         window_audio=np.zeros(N_SAMPLES, np.float32),
                         n_ctx=n_ctx_t, sample_len=cap,
                     )
+                except Exception:  # noqa: BLE001 — warmup is best-effort
+                    pass
+            # Commit-tick alignment classes: the DTW pass compiles one
+            # executable per coarse align_bucket (timestamps.align_bucket)
+            # — pre-compile the set so a live commit tick never pays it.
+            if not self.settings.no_timestamps:
+                try:
+                    from ..models.timestamps import compute_token_times
+
+                    xa_w = self._encode_window(
+                        np.zeros((1, N_SAMPLES), np.float32), n_ctx_t
+                    )
+                    for t_len in (40, 100, 200, 350):
+                        if len(sot_seq) + t_len >= self.cfg.n_text_ctx:
+                            continue
+                        seq = np.asarray(
+                            sot_seq
+                            + [100 + (i % 50) for i in range(t_len)],
+                            np.int64,
+                        )
+                        compute_token_times(
+                            self.cfg, self.params, xa_w, seq,
+                            len(sot_seq), self.cfg.n_audio_ctx,
+                        )
                 except Exception:  # noqa: BLE001 — warmup is best-effort
                     pass
 
@@ -732,15 +768,29 @@ class SttEngine:
         per burst, not per request — VERDICT r2 weak #2). The window's
         cross-KV comes back with the result and is appended to
         ``xa_out`` for reuse (timestamps, fallback rungs)."""
-        from ..models.sampling import prompt_bucket
+        from ..models.sampling import PROMPT_BUCKETS, prompt_bucket
 
         ctx = self.cfg.n_text_ctx
         tinit = np.full((1, ctx), self.ids.eot, np.int32)
         tinit[0, : len(init_tokens)] = init_tokens
-        tinit = jnp.asarray(tinit)
         # Bucketed shapes: one compiled decode per (prefill bucket) class
         # instead of one per carried-prompt length.
         prefill_len = prompt_bucket(sample_begin)
+        # Greedy single-window decodes PIN the prefill to one fixed bucket
+        # per cap class: prompt carry-over otherwise walks through the
+        # prompt buckets, and every new (prefill, cap) pair is a fresh XLA
+        # shape class compiled at serve time (a live streaming tick would
+        # stall ~90 s on it). Positions in [sample_begin, prefill_len) are
+        # never-attended EOT padding (decode_window contract) and the
+        # sampled-token budget is enforced by the traced ``sample_cap``,
+        # so the wider prefill is output-identical. Beam/best_of keep the
+        # dynamic buckets (their caps are shaped by max_len).
+        pin_prefill = temperature <= 0.0 and beam_size <= 1 and xa_kv_draft is None
+        if pin_prefill:
+            pinned = (
+                TICK_PREFILL if sample_len < SAMPLE_LEN else PROMPT_BUCKETS[-1]
+            )
+            prefill_len = max(prefill_len, pinned)
         max_len = min(ctx, prefill_len + sample_len)
         raw_batchable = (
             xa_kv is None
@@ -776,17 +826,23 @@ class SttEngine:
                     windows = np.pad(
                         windows, ((0, 0), (0, target - windows.shape[-1]))
                     )
+            # One upload (audio rides the launch), one launch, ONE pull:
+            # the op returns the whole DecodeResult packed into a single
+            # f32 carrier. Pulling the 6 result arrays separately costs
+            # 6 tunnel round trips (~80-100 ms each on axon) — the
+            # dominant share of a 500 ms streaming tick (docs/PERF.md
+            # "tick anatomy").
             with self._mesh_ctx():
-                xa_kv, res = _encode_decode_op(
-                    self.cfg, self.params, jnp.asarray(windows), self.xa_bits,
+                xa_kv, packed = _encode_decode_op(
+                    self.cfg, self.params, windows, self.xa_bits,
                     tinit, sample_begin, sot_index, self.ids,
-                    self.suppress_mask, jnp.float32(0.0), self._next_rng(),
+                    self.suppress_mask, self._zero_temp, self._greedy_key,
                     max_len, prefill_len, self.self_dtype,
-                    self.settings.cvalid_rows,
+                    self.settings.cvalid_rows, sample_len,
                 )
             if xa_out is not None:
                 xa_out.append(xa_kv)
-            return res
+            return _unpack_decode_result(np.asarray(packed), ctx)
         if xa_kv is None and not raw_batchable:
             # Defensive: a caller deferred the encode but this attempt
             # can't ride the batcher — encode here.
@@ -859,13 +915,16 @@ class SttEngine:
             tokens[0, len(init_tokens) : n] = seq
             tok_lps = np.zeros((1, ctx), np.float32)
             tok_lps[0, len(init_tokens) : n] = out["token_logprobs"]
+            # Host-side arrays: the consumer (_transcribe_longform) only
+            # reads them back, so round-tripping through the device here
+            # would cost 6 needless transfers.
             return DecodeResult(
-                tokens=jnp.asarray(tokens),
-                lengths=jnp.asarray([min(n + 1, ctx)], jnp.int32),
-                sum_logprobs=jnp.asarray([out["sum_logprob"]], jnp.float32),
-                avg_logprobs=jnp.asarray([out["avg_logprob"]], jnp.float32),
-                no_speech_probs=jnp.asarray([out["no_speech_prob"]], jnp.float32),
-                token_logprobs=jnp.asarray(tok_lps),
+                tokens=tokens,
+                lengths=np.asarray([min(n + 1, ctx)], np.int32),
+                sum_logprobs=np.asarray([out["sum_logprob"]], np.float32),
+                avg_logprobs=np.asarray([out["avg_logprob"]], np.float32),
+                no_speech_probs=np.asarray([out["no_speech_prob"]], np.float32),
+                token_logprobs=tok_lps,
             )
         if temperature <= 0.0 and beam_size > 1:
             gang = self._get_beam_gang()
@@ -916,6 +975,7 @@ class SttEngine:
                 self_dtype=self.self_dtype,
                 cvalid_rows=self.settings.cvalid_rows,
                 should_abort=should_abort,
+                sample_cap=sample_len if pin_prefill else None,
             )
 
     def _transcribe_longform(
@@ -1007,11 +1067,22 @@ class SttEngine:
                 xa_kv, xa_kv_draft = self._encode_window_with_draft(
                     window[None], n_ctx_w
                 )
-            elif seek == 0 and xa_kv_w0 is not None and xa_ctx_w0 == n_ctx_w:
+            elif (
+                seek == 0
+                and xa_kv_w0 is not None
+                and xa_ctx_w0 == n_ctx_w
+                and sample_len == SAMPLE_LEN
+            ):
                 # Window 0 was already encoded by the language-detect
                 # pass over the byte-identical zero-padded window — reuse
                 # it (one encoder launch per default-config request, not
-                # two).
+                # two). CAPPED tick decodes skip the reuse: with a ready
+                # xa_kv they would route to the standalone decode
+                # executable, a shape class warmup doesn't cover — the
+                # fused re-encode is ~0.1 s, a serve-time compile is ~90 s
+                # (and auto-language streams pin the language after the
+                # first tick — runtime/streaming.py — so this is a
+                # once-per-stream cost).
                 xa_kv = xa_kv_w0
             elif temperature0 <= 0.0 and beam_size <= 1:
                 # Greedy window: defer the encode into _decode_one. At
@@ -1028,6 +1099,11 @@ class SttEngine:
             # Decoder preamble: [sot_prev + carried/prompt] [sot lang task].
             prefix = prompt_text_tokens + carried_tokens
             prefix = prefix[-(cfg.n_text_ctx // 2 - 1) :]
+            if sample_len < SAMPLE_LEN:
+                # Capped tick decodes pin the prefill to TICK_PREFILL
+                # (_decode_one): keep the carried prompt inside that
+                # bucket so every tick hits the same compiled class.
+                prefix = prefix[-(TICK_PREFILL - 8) :]
             init_tokens: list[int] = []
             if prefix:
                 init_tokens = [sp.sot_prev] + prefix
@@ -1271,7 +1347,10 @@ class SttEngine:
                     }
                     t_max = max(len(seqs[j]) for j in keys)
                     if t_max > 0:
-                        width = align_bucket(sample_begin + t_max)
+                        width = min(
+                            align_bucket(sample_begin + t_max),
+                            cfg.n_text_ctx,
+                        )
                         align = np.full((len(keys), width), ids.eot, np.int64)
                         for r, j in enumerate(keys):
                             align[r, :sample_begin] = init_tokens
@@ -1397,18 +1476,22 @@ def _encode_audio_op(cfg, params, audio, kv_bits: int):
     jax.jit,
     static_argnames=(
         "cfg", "kv_bits", "ids", "max_len", "prefill_len", "self_dtype",
-        "cvalid_rows",
+        "cvalid_rows", "sample_cap",
     ),
 )
 def _encode_decode_op(
     cfg, params, audio, kv_bits: int, tinit, sample_begin, sot_index, ids,
     suppress_mask, temperature, rng, max_len, prefill_len, self_dtype,
-    cvalid_rows,
+    cvalid_rows, sample_cap,
 ):
     """Single-stream serving fast path: mel → encoder → cross-KV precompute
     → greedy decode as ONE executable (one dispatch round trip per tick
-    instead of two). Returns (xa_kv, DecodeResult); the cross-KV feeds the
-    fallback-ladder rungs and the DTW alignment pass without re-encoding."""
+    instead of two). Returns (xa_kv, packed) where ``packed`` is the whole
+    B=1 DecodeResult in one f32 carrier ([2*ctx+4]: tokens,
+    token_logprobs, then length/sum/avg/no_speech) so the host reads it
+    with ONE device→host pull — separate pulls cost a tunnel round trip
+    each (docs/PERF.md "tick anatomy"). The cross-KV stays on device for
+    the fallback-ladder rungs and the DTW alignment pass."""
     from ..models.whisper import encoder_apply, precompute_xa_kv
 
     mel = compute_log_mel(audio, n_mels=cfg.n_mels, dtype=cfg.dtype)
@@ -1419,9 +1502,37 @@ def _encode_decode_op(
         cfg, params, xa_kv, tinit, sample_begin, sot_index, ids,
         suppress_mask, temperature, rng, max_len=max_len,
         prefill_len=prefill_len, self_dtype=self_dtype,
-        cvalid_rows=cvalid_rows,
+        cvalid_rows=cvalid_rows, sample_cap=sample_cap,
     )
-    return xa_kv, res
+    packed = jnp.concatenate(
+        [
+            res.tokens[0].astype(jnp.float32),  # exact: vocab < 2**24
+            res.token_logprobs[0].astype(jnp.float32),
+            jnp.stack(
+                [
+                    res.lengths[0].astype(jnp.float32),
+                    res.sum_logprobs[0].astype(jnp.float32),
+                    res.avg_logprobs[0].astype(jnp.float32),
+                    res.no_speech_probs[0].astype(jnp.float32),
+                ]
+            ),
+        ]
+    )
+    return xa_kv, packed
+
+
+def _unpack_decode_result(p: np.ndarray, ctx: int):
+    """Host-side inverse of _encode_decode_op's packed carrier."""
+    from ..models.sampling import DecodeResult
+
+    return DecodeResult(
+        tokens=p[:ctx].astype(np.int32)[None],
+        lengths=p[2 * ctx : 2 * ctx + 1].astype(np.int32),
+        sum_logprobs=p[2 * ctx + 1 : 2 * ctx + 2],
+        avg_logprobs=p[2 * ctx + 2 : 2 * ctx + 3],
+        no_speech_probs=p[2 * ctx + 3 : 2 * ctx + 4],
+        token_logprobs=p[ctx : 2 * ctx][None],
+    )
 
 
 @functools.partial(

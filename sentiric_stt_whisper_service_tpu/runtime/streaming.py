@@ -61,6 +61,12 @@ class StreamingSession:
         self.trimmed_samples = 0  # samples dropped from the buffer front
         self.carried_text = ""
         self._prev_partial: list[tuple[str, int, int]] = []
+        # Auto-language streams detect ONCE: the first tick's detected
+        # language is pinned for the rest of the stream, so later ticks
+        # skip the per-buffer detect pass (one extra encoder launch +
+        # softmax pull each — the reference re-detects every 500 ms
+        # re-decode, which is wasted work on a single-speaker stream).
+        self._detected_lang = ""
 
     # ------------------------------------------------------------------
     def feed(self, chunk: bytes) -> list[StreamEvent]:
@@ -87,6 +93,7 @@ class StreamingSession:
             self.trimmed_samples = 0
             self.committed_cs = 0
             self.carried_text = ""
+        self._detected_lang = ""  # next utterance re-detects (ref parity)
         return events
 
     # ------------------------------------------------------------------
@@ -97,6 +104,9 @@ class StreamingSession:
             self.options,
             prompt=self.carried_text if self.incremental else self.options.prompt,
         )
+        if (self.options.language or "").strip().lower() in ("", "auto"):
+            if self._detected_lang:
+                opts.language = self._detected_lang  # pinned after 1st tick
         if partial and self.incremental:
             # Incremental partial tick: bound the decode by the buffered
             # tail's plausible token count, and skip the DTW alignment
@@ -135,6 +145,11 @@ class StreamingSession:
         pcm = self.buffer.read()
         results = [r for r in self._transcribe(pcm, partial=True) if r.text]
         self.last_processed = self.buffer.size
+        if not self._detected_lang:
+            for r in results:
+                if r.language and r.language not in ("unknown", "auto"):
+                    self._detected_lang = r.language
+                    break
 
         if self.incremental and results:
             buffer_cs = int(round(pcm.size / 16000 * 100))

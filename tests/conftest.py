@@ -13,6 +13,19 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Tests run WITHOUT the persistent compilation cache. XLA:CPU AOT
+# executable ser/deserialization is not reliable on this jaxlib under a
+# long full-suite process: observed SIGSEGV inside
+# compilation_cache.put_executable_and_time on a FRESH cache dir ~250
+# tests in (and cascading read crashes on the truncated entry it left
+# behind), always under tests/test_streaming.py's first capped-tick
+# decode compile, never in a standalone run of the same test. CPU
+# compiles of the CI-sized models are seconds each, so correctness wins
+# over warm-start time here; TPU serving processes keep the cache (they
+# compile large-v3, minutes per class, and never touch CPU entries —
+# prosody's serving path is pure numpy).
+os.environ.setdefault("SSTW_NO_COMPILE_CACHE", "1")
+
 import jax
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update

@@ -190,3 +190,53 @@ def test_gender_classification_tones():
     # Soft whisper → '?'
     wh = extract_prosody(make_tone(200.0, amp=0.005))
     assert wh.gender_proxy == "?"
+
+
+def test_numpy_twin_matches_jax_oracle():
+    """extract_prosody's serving path is pure numpy (_prosody_numeric_np);
+    prosody_numeric (jax) is the batched oracle. The twin must match the
+    oracle field-for-field across lengths, amplitudes and noise."""
+    import jax.numpy as jnp
+
+    from sentiric_stt_whisper_service_tpu.prosody.extractor import (
+        GENDER_CODES,
+        EMOTION_CODES,
+        ProsodyOptions,
+        _prosody_numeric_np,
+        prosody_numeric,
+    )
+
+    rng = np.random.default_rng(11)
+    opts = ProsodyOptions()
+    for dur, freq, amp in (
+        (0.5, 120.0, 0.1), (1.3, 220.0, 0.2), (2.0, 90.0, 0.05),
+        (0.8, 300.0, 0.01), (1.7, 170.0, 0.15),
+    ):
+        t = np.arange(int(dur * 16000)) / 16000
+        env = 0.6 + 0.4 * np.sin(2 * np.pi * 2.5 * t)
+        audio = (
+            amp * np.sin(2 * np.pi * freq * t) * env
+            + 0.01 * rng.standard_normal(len(t))
+        ).astype(np.float32)
+        got = _prosody_numeric_np(audio, 16000, opts)
+        n = len(audio)
+        pad = np.zeros(-(-n // 160) * 160, np.float32)
+        pad[:n] = audio
+        want = prosody_numeric(jnp.asarray(pad), jnp.int32(n), 16000, opts)
+        for i, name in enumerate(
+            ("pitch_mean", "pitch_std", "energy_mean", "energy_std",
+             "spectral_centroid", "zero_crossing_rate", "arousal",
+             "valence")
+        ):
+            np.testing.assert_allclose(
+                got[i], float(getattr(want, name)), rtol=2e-3, atol=2e-4,
+                err_msg=f"{name} @ {dur}s/{freq}Hz",
+            )
+        assert got[8] == int(want.gender_code), (dur, freq)
+        assert got[9] == int(want.emotion_code), (dur, freq)
+        np.testing.assert_allclose(
+            got[10], np.asarray(want.speaker_vec), rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            got[11], float(want.speech_rate), rtol=2e-3, atol=2e-4
+        )

@@ -86,3 +86,100 @@ def test_incremental_commits_and_trims(engine):
 def test_eos_empty_buffer_noop(engine):
     session = StreamingSession(engine)
     assert session.feed(b"") == []
+
+
+def test_incremental_ticks_no_serve_compile():
+    """After warmup(), a live incremental stream's partial ticks and EOS
+    finalize must never pay a serve-time XLA compile on the device path
+    (VERDICT r4: the round-3 bench leaked a ~90 s first-tick compile).
+    Covered classes: the pinned-prefill fused tick executables per cap
+    bucket, the full-window EOS class, and the coarse alignment buckets
+    (prosody is excluded — it runs on the host CPU backend and its
+    length buckets are ~ms compiles by design)."""
+    import logging
+
+    import jax
+
+    s = Settings(
+        enable_vad=False, beam_size=1, best_of=1, parallel_requests=1,
+        stream_buffer_samples=8000, stream_incremental=True,
+        quality_gate="off", logprob_threshold=-1e9, no_speech_threshold=2.0,
+        min_segment_avg_prob=0.0,
+    )
+    eng = SttEngine(s, model_name="test", random_init=True)
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Grab(level=logging.WARNING)
+    loggers = [
+        logging.getLogger("jax._src.interpreters.pxla"),
+        logging.getLogger("jax._src.dispatch"),
+    ]
+    try:
+        eng.warmup()
+        jax.config.update("jax_log_compiles", True)
+        for lg in loggers:
+            lg.addHandler(handler)
+
+        sess = StreamingSession(
+            eng, RequestOptions(language="en"), incremental=True
+        )
+        events = feed_all(sess, speechlike(4.0))
+        events += sess.feed(b"")  # EOS finalize (full-window class)
+        assert isinstance(events, list)
+        serve_compiles = [
+            m
+            for m in records
+            if "Compiling" in m
+            and any(
+                k in m
+                for k in ("decode", "encode", "mel", "align", "detect")
+            )
+        ]
+        assert not serve_compiles, serve_compiles
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for lg in loggers:
+            lg.removeHandler(handler)
+        eng.shutdown()
+
+
+def test_auto_language_detect_once_per_stream(monkeypatch):
+    """Auto-language streams pin the language once a tick yields text:
+    the per-buffer detect pass (one extra encoder launch each) must not
+    run on every 500 ms tick. (The reference re-detects on every
+    re-decode — wasted work this design skips. A fully-gated/silent
+    stream keeps detecting: you cannot pin a language from silence.)"""
+    import sentiric_stt_whisper_service_tpu.runtime.engine as eng_mod
+
+    calls = []
+    orig = eng_mod.detect_language
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(eng_mod, "detect_language", spy)
+    s = Settings(
+        enable_vad=False, beam_size=1, best_of=1, parallel_requests=1,
+        stream_buffer_samples=8000, stream_incremental=True,
+        quality_gate="off", logprob_threshold=-1e9, no_speech_threshold=2.0,
+        min_segment_avg_prob=0.0,
+    )
+    eng = SttEngine(s, model_name="test", random_init=True)
+    try:
+        sess = StreamingSession(eng, RequestOptions(language=""),
+                                incremental=True)
+        feed_all(sess, speechlike(3.0))  # 6 ticks
+        n_live = len(calls)
+        # Tick 1 detects; once any tick yields text the language is
+        # pinned for the rest of the utterance.
+        assert n_live <= 2, f"detect ran {n_live}× across 6 live ticks"
+        sess.feed(b"")  # EOS resets the pin; a new utterance re-detects
+        feed_all(sess, speechlike(2.0, seed=5))
+        assert len(calls) <= n_live + 3  # EOS finalize + new utterance
+    finally:
+        eng.shutdown()
