@@ -26,8 +26,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def speechlike_pcm16(seconds: float, seed: int) -> np.ndarray:
+    """Deterministic speech-shaped PCM16 (harmonic carrier + syllabic
+    envelope + low noise floor, like tests/test_streaming.py::speechlike)
+    — tick token counts then resemble speech density instead of whatever
+    random weights emit for white noise (VERDICT r4 #7)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * 16000)) / 16000
+    carrier = np.sin(2 * np.pi * 170 * t) + 0.3 * np.sin(2 * np.pi * 340 * t)
+    env = 0.7 + 0.3 * np.sin(2 * np.pi * 3 * t)
+    audio = 0.15 * carrier * env + 0.004 * rng.standard_normal(t.size)
+    return (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+
+
 def streaming_lines(model_name, gate_pass, seconds, sessions, incremental,
-                    compute, engine=None):
+                    compute, engine=None, stock=False):
     """Measure the BASELINE.md streaming metrics on a simulated real-time
     stream and return JSON-line dicts: p50 per-tick partial latency and
     p50 FIRST-PARTIAL (first-token) latency across ``sessions`` streams.
@@ -37,7 +50,14 @@ def streaming_lines(model_name, gate_pass, seconds, sessions, incremental,
     deployed behavior on real checkpoints, where a clean decode passes at
     t=0. Random weights otherwise force the full 5-rung temperature
     ladder on EVERY tick, which measures the ladder, not the serving
-    latency (VERDICT r2 missing #3)."""
+    latency (VERDICT r2 missing #3).
+
+    ``stock``: use ``Settings()`` defaults for every strategy/batching/
+    streaming knob — beam_size=5, best_of=5, parallel_requests=2,
+    stream_incremental=False, stream_greedy_partials=True — i.e. what a
+    stock deployment's stream actually costs per tick (VERDICT r4 #3).
+    Only the gate neutralization (see above) and enable_vad=False
+    (no Silero weights needed for a latency probe) deviate."""
     import os
 
     from sentiric_stt_whisper_service_tpu.config import Settings
@@ -50,14 +70,22 @@ def streaming_lines(model_name, gate_pass, seconds, sessions, incremental,
     )
 
     if engine is None:
-        kw = dict(
-            enable_vad=False, beam_size=1, best_of=1, parallel_requests=1,
-            compute_type=compute,
-            audio_ctx=int(os.environ.get("STT_WHISPER_SERVICE_AUDIO_CTX", "0")),
-            # Warmup covers the incremental tick ladder (capped decode
-            # classes) only when the engine knows streaming is incremental.
-            stream_incremental=incremental,
-        )
+        if stock:
+            kw = dict(enable_vad=False, compute_type=compute)
+        else:
+            kw = dict(
+                enable_vad=False, beam_size=1, best_of=1, parallel_requests=1,
+                compute_type=compute,
+                audio_ctx=int(
+                    os.environ.get("STT_WHISPER_SERVICE_AUDIO_CTX", "0")
+                ),
+                # Warmup covers the incremental tick ladder (capped decode
+                # classes) only when the engine knows streaming is
+                # incremental.
+                stream_incremental=incremental,
+            )
+            if os.environ.get("BENCH_GREEDY_PARTIALS", "1") != "1":
+                kw["stream_greedy_partials"] = False
         if gate_pass:
             kw.update(
                 quality_gate="off", logprob_threshold=-1e9,
@@ -69,14 +97,13 @@ def streaming_lines(model_name, gate_pass, seconds, sessions, incremental,
     else:
         eng = engine
         s = eng.get_settings()
+    if stock:
+        incremental = s.stream_incremental
 
-    rng = np.random.default_rng(0)
     chunk = s.stream_buffer_samples  # 500 ms cadence
     tick_lat, first_lat = [], []
     for k in range(sessions):
-        audio = (rng.standard_normal(int(seconds * 16000)) * 3276).astype(
-            np.int16
-        )
+        audio = speechlike_pcm16(seconds, seed=k)
         sess = StreamingSession(eng, RequestOptions(language="en"),
                                 incremental=incremental)
         got_first = False
@@ -92,7 +119,7 @@ def streaming_lines(model_name, gate_pass, seconds, sessions, incremental,
         sess.feed(b"")  # EOS
 
     mode = ("gatepass_" if gate_pass else "") + (
-        "inc" if incremental else "ref"
+        "stock" if stock else ("inc" if incremental else "ref")
     )
     out = []
     lat = np.asarray(sorted(tick_lat))
@@ -125,6 +152,7 @@ def main_streaming():
         sessions=int(os.environ.get("BENCH_SESSIONS", "3")),
         incremental=os.environ.get("BENCH_INCREMENTAL", "1") == "1",
         compute=os.environ.get("BENCH_COMPUTE", "int4"),
+        stock=os.environ.get("BENCH_STOCK", "0") == "1",
     ):
         print(json.dumps(line))
 
@@ -244,17 +272,18 @@ def main():
         "vs_baseline": round(rtfx / 60.0, 2),
     }
 
-    # Companion DEFAULT-CONFIG line (VERDICT r3 #4): the stock Settings
-    # decode strategy is beam_size=5 (config.py, mirroring the
-    # reference's config.h:52-54) routed through the gang coalescer
-    # (runtime/gang.py) — the gang's coalesced batch ultimately runs ONE
-    # decode_window_beam launch, measured here at the gang's max batch
-    # (max_batch_size=8, the measured beam sweet spot, docs/PERF.md).
-    # EOT-realistic early banking: real-speech windows bank K finished
-    # hypotheses in tens of steps, not max_len — random weights never
-    # emit EOT, so an additive EOT boost forces that regime (banked-K
-    # termination is output-identical by construction,
-    # tests/test_beam.py::test_beam_eot_early_*).
+    # Companion DEFAULT-CONFIG line (VERDICT r3 #4, honest form per
+    # VERDICT r4 #2): the stock Settings decode strategy is beam_size=5
+    # (config.py, mirroring the reference's config.h:52-54) routed
+    # through the gang coalescer (runtime/gang.py) — the gang's coalesced
+    # batch ultimately runs ONE decode_window_beam launch, measured here
+    # at the gang's max batch (max_batch_size=8, the measured beam sweet
+    # spot, docs/PERF.md). Decode length is CONTROLLED, not EOT-gamed:
+    # EOT is suppressed outright so every beam decodes the same fixed
+    # 128-token budget as the greedy headline (real dense speech runs
+    # 100-200+ tokens per 30 s window under beam 5; the r4 additive EOT
+    # boost truncated decodes to a few tokens and measured the encoder —
+    # VERDICT r4 weak #2). ``tokens_per_window`` rides in the JSON line.
     if os.environ.get("BENCH_DEFAULT", "1") == "1":
         try:
             from sentiric_stt_whisper_service_tpu.models.beam import (
@@ -264,9 +293,9 @@ def main():
             GB, K = 8, 5
             gaudio = audio[:GB]
             gtinit = tinit[:GB]
-            sup_boost = jnp.asarray(
+            sup_noeot = jnp.asarray(
                 np.asarray(sup, np.float32)
-                + np.eye(1, cfg.n_vocab, ids.eot)[0] * 14.0
+                - np.eye(1, cfg.n_vocab, ids.eot)[0] * 1e9
             )
 
             @jax.jit
@@ -274,7 +303,7 @@ def main():
                 mel = compute_log_mel(a, n_mels=cfg.n_mels, dtype=cfg.dtype)
                 xkv = encode_xa_kv(cfg, p, mel)
                 return decode_window_beam(
-                    cfg, p, xkv, gtinit, len(sot), 0, ids, sup_boost,
+                    cfg, p, xkv, gtinit, len(sot), 0, ids, sup_noeot,
                     beam_size=K, max_len=max_len, self_dtype=self_dtype,
                 )
 
@@ -286,15 +315,19 @@ def main():
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     r = pipeline_default(params, gaudio)
-                _ = int(np.asarray(r.lengths).sum())
+                lengths = np.asarray(r.lengths)
+                _ = int(lengths.sum())
                 gdt = min(gdt, (time.perf_counter() - t0) / iters)
             grtfx = GB * 30.0 / gdt
+            tokens_per_window = float(np.mean(lengths - len(sot) - 1))
             print(json.dumps({
                 "metric": (
-                    f"RTFx_default_beam{K}_batch{GB}_{model_name}_eot_banked"
+                    f"RTFx_default_beam{K}_batch{GB}_{model_name}_"
+                    f"{DECODE_TOKENS}tok"
                 ),
                 "value": round(grtfx, 1),
                 "unit": "audio_sec/sec/chip",
+                "tokens_per_window": round(tokens_per_window, 1),
                 "vs_baseline": round(grtfx / 60.0, 2),
             }))
         except Exception as e:  # noqa: BLE001 — never lose the headline
@@ -314,6 +347,22 @@ def main():
                 print(json.dumps(line))
         except Exception as e:  # noqa: BLE001 — never lose the headline
             print(json.dumps({"metric": "stream_lines_failed", "error": str(e)}))
+    # STOCK-settings streaming (VERDICT r4 #3): what a Settings()-default
+    # deployment's stream costs per 500 ms tick — beam-5 default engine,
+    # parallel_requests=2, parity-mode re-decode ticks with the
+    # stream_greedy_partials downgrade (greedy capped partials,
+    # beam-quality finals).
+    if os.environ.get("BENCH_STOCK_STREAM", "1") == "1":
+        try:
+            for line in streaming_lines(
+                model_name=model_name, gate_pass=True,
+                seconds=float(os.environ.get("BENCH_SECONDS", "8")),
+                sessions=int(os.environ.get("BENCH_SESSIONS", "2")),
+                incremental=False, compute=compute, stock=True,
+            ):
+                print(json.dumps(line))
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            print(json.dumps({"metric": "stock_stream_failed", "error": str(e)}))
 
     print(json.dumps(headline))
 

@@ -117,6 +117,15 @@ class Settings:
     # buffer (beats the reference's redecode-everything loop). Off by
     # default for exact wire-behavior parity.
     stream_incremental: bool = False
+    # Streaming PARTIAL ticks decode greedy (and token-capped by buffer
+    # duration) even when the default strategy is beam: the wire protocol
+    # already separates partials from finals, and a stock beam-5 re-decode
+    # of the whole buffer every 500 ms cannot meet the real-time tick
+    # budget at large-v3 (VERDICT r4 #3; the reference re-decodes with its
+    # full config every tick, grpc_server.cpp:222-228). FINAL results
+    # (EOS finalize, 30 s-cap flush, incremental commits' EOS pass) keep
+    # the configured beam quality. Set false for strict reference parity.
+    stream_greedy_partials: bool = True
 
     log_level: str = "info"
     grpc_ca_path: str = ""
@@ -223,6 +232,9 @@ def load_settings() -> Settings:
         "STREAM_BUFFER_SAMPLES", s.stream_buffer_samples
     )
     s.stream_incremental = _env_bool("STREAM_INCREMENTAL", s.stream_incremental)
+    s.stream_greedy_partials = _env_bool(
+        "STREAM_GREEDY_PARTIALS", s.stream_greedy_partials
+    )
     s.audio_ctx = _env_int("AUDIO_CTX", s.audio_ctx)
 
     s.log_level = _env("LOG_LEVEL", s.log_level)

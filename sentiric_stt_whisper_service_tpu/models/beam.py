@@ -513,11 +513,15 @@ def _beam_prefill_impl(
 ):
     """Abortable-path stage 1: prefill and return (state, no_speech,
     xa_dev) with the cross slab carrier-unpacked ONCE (chunks then take
-    the native slab — no per-chunk unpack)."""
-    return _beam_setup(
+    the slab without re-unpacking) — widened to a boundary-safe dtype
+    (int4 can't cross executables on axon, ops/quant.xa_kv_boundary_safe)."""
+    from ..ops.quant import xa_kv_boundary_safe
+
+    state, no_speech, xa_dev = _beam_setup(
         cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids,
         beam_size, max_len, prefill_len, self_dtype,
     )
+    return state, no_speech, xa_kv_boundary_safe(xa_dev)
 
 
 @functools.partial(

@@ -597,11 +597,16 @@ def _decode_prefill_impl(
     max_len, prefill_len, self_dtype,
 ):
     """Abortable-path stage 1: prefill; the cross slab comes back
-    carrier-unpacked so chunks never re-unpack."""
-    return _decode_setup(
+    carrier-unpacked so chunks never re-unpack — widened to a
+    boundary-safe dtype (int4 can't cross executables on axon,
+    ops/quant.xa_kv_boundary_safe)."""
+    from ..ops.quant import xa_kv_boundary_safe
+
+    state, no_speech, xa_dev = _decode_setup(
         cfg, params, xa_kv, tokens_init, sample_begin, sot_index, ids, rng,
         max_len, prefill_len, self_dtype,
     )
+    return state, no_speech, xa_kv_boundary_safe(xa_dev)
 
 
 @functools.partial(

@@ -231,3 +231,22 @@ def unpack_xa_kv(xa_kv: dict) -> dict:
 
 def is_quantized_kv(xa_kv: dict) -> bool:
     return "k_q" in xa_kv or "k_p" in xa_kv
+
+
+def xa_kv_boundary_safe(xa_kv: dict) -> dict:
+    """Make an unpacked cross-KV dict safe to pass BETWEEN executables:
+    native int4 (S4) arrays cannot cross jit boundaries on the axon TPU
+    plugin — the C++ jit rejects the S4 argument signature and the
+    fallback recurses to a RecursionError (found driving the serving
+    stack end-to-end, round 5). The host-chunked abortable decode paths
+    therefore carry the slab as int8 holding the int4 values (2× the
+    HBM bytes of native int4 — the cost of abortability; single-launch
+    paths keep native int4 INSIDE their one executable). Integer dots on
+    the widened values are bit-identical."""
+    if "k_q" in xa_kv and xa_kv["k_q"].dtype == jnp.int4:
+        return {
+            **xa_kv,
+            "k_q": xa_kv["k_q"].astype(jnp.int8),
+            "v_q": xa_kv["v_q"].astype(jnp.int8),
+        }
+    return xa_kv

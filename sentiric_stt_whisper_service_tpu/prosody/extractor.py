@@ -100,8 +100,85 @@ def _one_pole_lpf(x: jnp.ndarray, alpha: float) -> jnp.ndarray:
     return y
 
 
-def _soft_norm(val, lo, hi):
-    return jnp.clip((val - lo) / (hi - lo), 0.0, 1.0)
+def _soft_norm(val, lo, hi, xp=jnp):
+    return xp.clip((val - lo) / (hi - lo), 0.0, 1.0)
+
+
+def _heuristics(xp, pitch_mean, pitch_std, energy_mean, sc_mean, zcr_mean,
+                speech_rate, opts: ProsodyOptions):
+    """THE single source of truth for the reference's affective
+    heuristics (prosody_extractor.cpp:140-221): octave-error halving,
+    gender rules, relative emotion, and the 8-D gender-polarized speaker
+    vector — written branchless over a backend module ``xp`` (``jnp``
+    for the batched oracle, ``np`` for the serving twin), so the two
+    execution paths cannot drift (VERDICT r4 #8).
+
+    Returns (pitch_mean, gender_code, arousal, valence, emotion_code,
+    speaker_vec[8])."""
+    # Backend-array inputs: comparisons then yield xp bools with xp's
+    # ~/&/| semantics (a Python-bool `~` is integer complement — wrong).
+    pitch_mean, pitch_std, energy_mean, sc_mean, zcr_mean, speech_rate = (
+        xp.asarray(v) for v in
+        (pitch_mean, pitch_std, energy_mean, sc_mean, zcr_mean, speech_rate)
+    )
+    # --- octave-error heuristics (:140-148) ---
+    halve1 = (pitch_mean > opts.gender_threshold) & (zcr_mean < 0.024)
+    halve2 = (
+        (~halve1)
+        & (energy_mean > 0.12)
+        & (pitch_mean < 240.0)
+        & (sc_mean < 90.0)
+    )
+    pitch_mean = xp.where(halve1 | halve2, pitch_mean * 0.5, pitch_mean)
+
+    # --- gender (:155-163): 0 '?', 1 'M', 2 'F' ---
+    unknown = (pitch_mean == 0.0) | (energy_mean < 0.018)
+    male_zcr = zcr_mean < 0.030
+    female = pitch_mean > opts.gender_threshold
+    gender = xp.where(
+        unknown, 0, xp.where(male_zcr, 1, xp.where(female, 2, 1))
+    )
+
+    # --- relative emotion (:166-186) ---
+    norm_pitch = xp.where(
+        gender == 1,
+        _soft_norm(pitch_mean, 60.0, 180.0, xp),
+        _soft_norm(pitch_mean, 160.0, 350.0, xp),
+    )
+    norm_bright = _soft_norm(sc_mean, 40.0, 150.0, xp)
+    valence = (norm_pitch * 0.4 + norm_bright * 0.6) * 2.0 - 1.0 + 0.35
+    norm_energy = _soft_norm(energy_mean, 0.02, 0.20, xp)
+    norm_rate = _soft_norm(speech_rate, 2.0, 9.0, xp)
+    arousal = norm_energy * 0.7 + norm_rate * 0.3
+    emotion = xp.where(
+        arousal > 0.65,
+        xp.where(valence > 0.1, 1, 2),  # excited / angry
+        xp.where((arousal < 0.30) & (valence < -0.4), 3, 0),  # sad / neutral
+    )
+
+    # --- 8-D polarized speaker vector (:191-221) ---
+    base_pitch = xp.where(
+        gender == 1,
+        _soft_norm(pitch_mean, 60.0, 200.0, xp) * 0.4,
+        xp.where(
+            gender == 2,
+            0.6 + _soft_norm(pitch_mean, 160.0, 350.0, xp) * 0.4,
+            0.5,
+        ),
+    )
+    vec = xp.stack(
+        [
+            base_pitch,
+            _soft_norm(sc_mean, 40.0, 250.0, xp),
+            _soft_norm(pitch_std, 5.0, 100.0, xp) * 0.1,
+            _soft_norm(energy_mean, 0.0, 0.3, xp) * 0.1,
+            _soft_norm(zcr_mean, 0.0, 0.5, xp) * 0.8,
+            _soft_norm(speech_rate, 1.0, 12.0, xp) * 0.1,
+            arousal * 0.05,
+            ((valence + 1.0) / 2.0) * 0.05,
+        ]
+    )
+    return pitch_mean, gender, arousal, valence, emotion, vec
 
 
 def _masked_lower_median(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -200,62 +277,14 @@ def prosody_numeric(
     )
     zcr_mean = jnp.where(any_frame, _masked_mean_std(zcr, frame_valid)[0], 0.1)
 
-    # --- octave-error heuristics (:140-148) ---
-    is_high = pitch_mean > opts.gender_threshold
-    is_low_zcr = zcr_mean < 0.024
-    halve1 = is_high & is_low_zcr
-    halve2 = (~halve1) & (energy_mean > 0.12) & (pitch_mean < 240.0) & (sc_mean < 90.0)
-    pitch_mean = jnp.where(halve1 | halve2, pitch_mean * 0.5, pitch_mean)
-
     duration = n_samples.astype(jnp.float32) / sample_rate
     speech_rate = jnp.where(duration > 0, peak_count / jnp.maximum(duration, 1e-9), 0.0)
 
-    # --- gender (:155-163): 0 '?', 1 'M', 2 'F' ---
-    unknown = (pitch_mean == 0.0) | (energy_mean < 0.018)
-    male_zcr = zcr_mean < 0.030
-    female = pitch_mean > opts.gender_threshold
-    gender = jnp.where(
-        unknown, 0, jnp.where(male_zcr, 1, jnp.where(female, 2, 1))
-    )
-
-    # --- relative emotion (:166-186) ---
-    norm_pitch = jnp.where(
-        gender == 1,
-        _soft_norm(pitch_mean, 60.0, 180.0),
-        _soft_norm(pitch_mean, 160.0, 350.0),
-    )
-    norm_bright = _soft_norm(sc_mean, 40.0, 150.0)
-    valence = (norm_pitch * 0.4 + norm_bright * 0.6) * 2.0 - 1.0 + 0.35
-    norm_energy = _soft_norm(energy_mean, 0.02, 0.20)
-    norm_rate = _soft_norm(speech_rate, 2.0, 9.0)
-    arousal = norm_energy * 0.7 + norm_rate * 0.3
-    emotion = jnp.where(
-        arousal > 0.65,
-        jnp.where(valence > 0.1, 1, 2),  # excited / angry
-        jnp.where((arousal < 0.30) & (valence < -0.4), 3, 0),  # sad / neutral
-    )
-
-    # --- 8-D polarized speaker vector (:191-221) ---
-    base_pitch = jnp.where(
-        gender == 1,
-        _soft_norm(pitch_mean, 60.0, 200.0) * 0.4,
-        jnp.where(
-            gender == 2,
-            0.6 + _soft_norm(pitch_mean, 160.0, 350.0) * 0.4,
-            0.5,
-        ),
-    )
-    vec = jnp.stack(
-        [
-            base_pitch,
-            _soft_norm(sc_mean, 40.0, 250.0),
-            _soft_norm(pitch_std, 5.0, 100.0) * 0.1,
-            _soft_norm(energy_mean, 0.0, 0.3) * 0.1,
-            _soft_norm(zcr_mean, 0.0, 0.5) * 0.8,
-            _soft_norm(speech_rate, 1.0, 12.0) * 0.1,
-            arousal * 0.05,
-            ((valence + 1.0) / 2.0) * 0.05,
-        ]
+    # Octave halving / gender / emotion / speaker vector: ONE shared
+    # implementation with the numpy serving twin (_heuristics).
+    pitch_mean, gender, arousal, valence, emotion, vec = _heuristics(
+        jnp, pitch_mean, pitch_std, energy_mean, sc_mean, zcr_mean,
+        speech_rate, opts,
     )
 
     # Empty-input path (reference :35-48): n < 160 → neutral tags.
@@ -287,10 +316,6 @@ def _bucket_len(n: int, sample_rate: int) -> int:
     while size < frames:
         size *= 2
     return size * shift
-
-
-def _np_soft_norm(val, lo, hi):
-    return float(np.clip((val - lo) / (hi - lo), 0.0, 1.0))
 
 
 def _prosody_numeric_np(audio: np.ndarray, sample_rate: int,
@@ -368,67 +393,19 @@ def _prosody_numeric_np(audio: np.ndarray, sample_rate: int,
     sc_mean = float(np.mean(sc)) if n_frames else 50.0
     zcr_mean = float(np.mean(zcr)) if n_frames else 0.1
 
-    # --- octave-error heuristics (:140-148) ---
-    halve1 = pitch_mean > opts.gender_threshold and zcr_mean < 0.024
-    halve2 = (not halve1) and (
-        energy_mean > 0.12 and pitch_mean < 240.0 and sc_mean < 90.0
-    )
-    if halve1 or halve2:
-        pitch_mean *= 0.5
-
     duration = n / sample_rate
     speech_rate = peak_count / duration if duration > 0 else 0.0
 
-    # --- gender (:155-163) ---
-    if pitch_mean == 0.0 or energy_mean < 0.018:
-        gender = 0
-    elif zcr_mean < 0.030:
-        gender = 1
-    elif pitch_mean > opts.gender_threshold:
-        gender = 2
-    else:
-        gender = 1
-
-    # --- relative emotion (:166-186) ---
-    if gender == 1:
-        norm_pitch = _np_soft_norm(pitch_mean, 60.0, 180.0)
-    else:
-        norm_pitch = _np_soft_norm(pitch_mean, 160.0, 350.0)
-    norm_bright = _np_soft_norm(sc_mean, 40.0, 150.0)
-    valence = (norm_pitch * 0.4 + norm_bright * 0.6) * 2.0 - 1.0 + 0.35
-    norm_energy = _np_soft_norm(energy_mean, 0.02, 0.20)
-    norm_rate = _np_soft_norm(speech_rate, 2.0, 9.0)
-    arousal = norm_energy * 0.7 + norm_rate * 0.3
-    if arousal > 0.65:
-        emotion = 1 if valence > 0.1 else 2
-    elif arousal < 0.30 and valence < -0.4:
-        emotion = 3
-    else:
-        emotion = 0
-
-    # --- 8-D polarized speaker vector (:191-221) ---
-    if gender == 1:
-        base_pitch = _np_soft_norm(pitch_mean, 60.0, 200.0) * 0.4
-    elif gender == 2:
-        base_pitch = 0.6 + _np_soft_norm(pitch_mean, 160.0, 350.0) * 0.4
-    else:
-        base_pitch = 0.5
-    vec = np.asarray(
-        [
-            base_pitch,
-            _np_soft_norm(sc_mean, 40.0, 250.0),
-            _np_soft_norm(pitch_std, 5.0, 100.0) * 0.1,
-            _np_soft_norm(energy_mean, 0.0, 0.3) * 0.1,
-            _np_soft_norm(zcr_mean, 0.0, 0.5) * 0.8,
-            _np_soft_norm(speech_rate, 1.0, 12.0) * 0.1,
-            arousal * 0.05,
-            ((valence + 1.0) / 2.0) * 0.05,
-        ],
-        np.float32,
+    # Octave halving / gender / emotion / speaker vector: ONE shared
+    # implementation with the jax oracle (_heuristics over xp=np).
+    pitch_mean, gender, arousal, valence, emotion, vec = _heuristics(
+        np, pitch_mean, pitch_std, energy_mean, sc_mean, zcr_mean,
+        speech_rate, opts,
     )
     return (
-        pitch_mean, pitch_std, energy_mean, energy_std, sc_mean, zcr_mean,
-        arousal, valence, gender, emotion, vec, speech_rate,
+        float(pitch_mean), pitch_std, energy_mean, energy_std, sc_mean,
+        zcr_mean, float(arousal), float(valence), int(gender), int(emotion),
+        np.asarray(vec, np.float32), speech_rate,
     )
 
 

@@ -35,6 +35,18 @@ COMMIT_GUARD_CS = 100  # don't commit segments ending within 1 s of the head
 TICK_TOKENS_PER_SECOND = 14
 TICK_CAP_MIN = 32
 TICK_CAP_MAX = 128
+# Parity-mode (non-incremental) partial ticks re-decode the WHOLE buffer,
+# so their cap only saturates at the full window budget: early short-buffer
+# ticks stay cheap, a near-30 s buffer decodes uncapped.
+PARITY_CAP_MAX = 224  # == models SAMPLE_LEN
+# Auto-language pin policy (ADVICE r4): the first ~1 s of audio is the
+# least reliable detection window, and a wrong early pin would stick for
+# the rest of the utterance. Re-detect every tick (reference parity,
+# grpc_server.cpp:222-228 re-decodes with auto language) until the buffer
+# is LANG_PIN_MIN_S long or detection is confident, then pin and save the
+# per-tick detect encoder pass.
+LANG_PIN_MIN_S = 3.0
+LANG_PIN_PROB = 0.8
 
 
 @dataclasses.dataclass
@@ -107,25 +119,49 @@ class StreamingSession:
         if (self.options.language or "").strip().lower() in ("", "auto"):
             if self._detected_lang:
                 opts.language = self._detected_lang  # pinned after 1st tick
-        if partial and self.incremental:
-            # Incremental partial tick: bound the decode by the buffered
-            # tail's plausible token count, and skip the DTW alignment
-            # pass unless a segment could COMMIT this tick (partials
-            # carry no word times on the wire; committed finals do, and
-            # the commit precondition — the previous tick's first stable
-            # segment ends ≥1 s before the head — is computable before
-            # decoding). EOS finalize() stays full-quality.
+        if partial:
             dur = pcm.size / 16000.0
+            # Partial ticks decode greedy even under a beam default
+            # (Settings.stream_greedy_partials): a stock beam-5 re-decode
+            # of the whole buffer every 500 ms cannot hold the real-time
+            # tick budget at large-v3, and the wire protocol already
+            # marks these results as non-final. Finals (EOS finalize,
+            # 30 s-cap flush) keep the configured beam quality.
+            if self.settings.stream_greedy_partials:
+                eff_beam = (
+                    opts.beam_size
+                    if opts.beam_size > 0
+                    else self.settings.beam_size
+                )
+                if eff_beam > 1:
+                    opts.beam_size = 1
+                    opts.best_of = 1
+            # Bound the decode by the buffer's plausible token count
+            # (~3× real speech density, so genuine content never
+            # truncates). Incremental mode caps at TICK_CAP_MAX — its
+            # buffer is trimmed to the uncommitted tail; parity mode
+            # saturates at the full window budget instead.
             opts.max_decode_tokens = min(
-                TICK_CAP_MAX,
+                TICK_CAP_MAX if self.incremental else PARITY_CAP_MAX,
                 max(TICK_CAP_MIN, int(dur * TICK_TOKENS_PER_SECOND) + 8),
             )
-            buffer_cs = int(round(dur * 100))
+        if partial and self.incremental:
+            # Skip the DTW alignment pass unless a segment could COMMIT
+            # this tick (partials carry no word times on the wire;
+            # committed finals do, and the commit precondition — the
+            # previous tick's first stable segment ends ≥1 s before the
+            # head — is computable before decoding). EOS finalize()
+            # stays full-quality.
+            buffer_cs = int(round(pcm.size / 16000.0 * 100))
             commit_candidate = bool(self._prev_partial) and (
                 self._prev_partial[0][2] < buffer_cs - COMMIT_GUARD_CS
             )
             if not commit_candidate:
                 opts.no_timestamps = True
+        elif partial:
+            # Parity-mode partials never carry word times; the 30 s-cap
+            # flush below re-decodes at full quality for its finals.
+            opts.no_timestamps = True
         return self.engine.transcribe_pcm16(pcm, 16000, opts)
 
     def _offset(self, res: TranscriptionResult) -> TranscriptionResult:
@@ -146,9 +182,18 @@ class StreamingSession:
         results = [r for r in self._transcribe(pcm, partial=True) if r.text]
         self.last_processed = self.buffer.size
         if not self._detected_lang:
+            # Pin the language only once detection is trustworthy: enough
+            # buffered audio or a confident softmax. Until then every
+            # tick re-detects (reference parity) and can recover from an
+            # early misdetection.
+            dur = pcm.size / 16000.0
             for r in results:
                 if r.language and r.language not in ("unknown", "auto"):
-                    self._detected_lang = r.language
+                    if (
+                        dur >= LANG_PIN_MIN_S
+                        or r.language_probability >= LANG_PIN_PROB
+                    ):
+                        self._detected_lang = r.language
                     break
 
         if self.incremental and results:
@@ -203,7 +248,15 @@ class StreamingSession:
 
         # 30 s cap → force-final everything (grpc_server.cpp:274-298).
         if self.buffer.size > MAX_BUFFER_SAMPLES:
-            for r in results:
+            flushed = results
+            if self._partials_downgraded():
+                # The tick decode was greedy/capped/unaligned; finals
+                # keep the configured quality — one full decode of the
+                # buffer (≈ the offline cost of this 30 s of audio, paid
+                # once per cap).
+                buf = self.buffer.read()
+                flushed = [r for r in self._transcribe(buf) if r.text]
+            for r in flushed:
                 events.append(StreamEvent(self._offset(r), True))
             if self.incremental:
                 self.trimmed_samples += self.buffer.size
@@ -211,3 +264,17 @@ class StreamingSession:
             self.last_processed = 0
             self._prev_partial = []
         return events
+
+    def _partials_downgraded(self) -> bool:
+        """True when partial ticks decode below the configured quality
+        (greedy downgrade or skipped word alignment), so cap-flush
+        finals need their own full-quality pass."""
+        if self.settings.stream_greedy_partials:
+            eff_beam = (
+                self.options.beam_size
+                if self.options.beam_size > 0
+                else self.settings.beam_size
+            )
+            if eff_beam > 1:
+                return True
+        return not self.incremental and not self.settings.no_timestamps

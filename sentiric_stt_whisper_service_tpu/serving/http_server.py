@@ -164,6 +164,12 @@ class HttpServer:
         except ValueError:
             pass
         opts.prosody_opts = p_opts
+        # Abort the decode when the HTTP client disconnects: aiohttp
+        # cancels the handler task, but the transcription runs in an
+        # executor thread that would otherwise finish the full decode.
+        opts.should_abort = (
+            lambda: request.transport is None or request.transport.is_closing()
+        )
 
         suts_info(
             "HTTP_TRANSCRIBE_REQUEST", trace_id, span_id, tenant_id,

@@ -50,6 +50,21 @@ def serve(settings: Settings | None = None, random_init: bool = False, block=Tru
     setup_logging(settings.log_level)
     suts_info("SERVICE_STARTING", "", "", "", "Starting TPU STT service")
 
+    # Multi-host (DCN) leg, env-gated (SURVEY.md §5.8): must run BEFORE
+    # any backend touch so the engine's MESH_SHAPE mesh can span the
+    # processes' global device list.
+    try:
+        from ..parallel.distributed import maybe_initialize_distributed
+
+        if maybe_initialize_distributed():
+            suts_info(
+                "DISTRIBUTED_READY", "", "", "",
+                "jax.distributed multi-host runtime initialized",
+            )
+    except Exception as e:  # noqa: BLE001 — refuse to serve half a cluster
+        suts_error("DISTRIBUTED_INIT_FAILED", "", "", "", "%s", e)
+        raise
+
     if not random_init:
         try:
             from ..checkpoint import ModelManager

@@ -32,8 +32,33 @@ import jax
 # is honored and must happen before any backend initialization.
 jax.config.update("jax_platforms", "cpu")
 
+import gc
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The full suite compiles ~250 XLA:CPU executables in one process; jit
+    caches keep every one alive (plus its LLVM JIT code mappings) for the
+    process lifetime. Round 4 shipped with a deterministic SIGSEGV inside
+    ``backend_compile_and_load`` on the ~230th-compile class
+    (tests/test_streaming.py's capped-tick fused executable, full-suite
+    runs only — every module passes standalone; peak RSS was ~6.7 GB of
+    125 GB, so not a simple OOM). Dropping the accumulated executables at
+    module boundaries keeps the compiler's process-wide footprint (code
+    mappings, ORC JIT state) near a single module's, which is the regime
+    where every module is proven stable. Cost: shared module-level jits
+    recompile per module — seconds each on the CI-sized models.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

@@ -251,6 +251,57 @@ def test_grpc_stream_partials_and_eos(grpc_addr, wav_bytes):
             assert isinstance(r.transcription, str)
 
 
+def test_grpc_unary_cancel_aborts_decode(grpc_addr, engine, wav_bytes, monkeypatch):
+    """A cancelled RPC must reach the engine's abort machinery: the
+    servicer wires ``should_abort`` to ``context.is_active`` (the
+    reference plumbs an abort callback but its servers never set it —
+    stt_engine.h:33). The spy holds the decode until cancellation
+    propagates, then asserts the engine saw the abort and returned
+    early (transcribe's pre-check yields [] — engine.py abort path;
+    mid-decode stops are covered by tests/test_beam.py and test_gang.py)."""
+    import threading
+    import time
+
+    seen = {}
+    started = threading.Event()
+    orig = engine.transcribe_pcm16
+
+    def spy(pcm, sr, options, *a, **kw):
+        assert options.should_abort is not None, "servicer left should_abort unset"
+        started.set()
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and not options.should_abort():
+            time.sleep(0.02)
+        seen["abort_fired"] = options.should_abort()
+        t0 = time.monotonic()
+        seen["results"] = orig(pcm, sr, options, *a, **kw)
+        seen["decode_s"] = time.monotonic() - t0
+        return seen["results"]
+
+    monkeypatch.setattr(engine, "transcribe_pcm16", spy)
+    with grpc.insecure_channel(grpc_addr) as ch:
+        call = ch.unary_unary(
+            f"/{SERVICE}/WhisperTranscribe",
+            request_serializer=stt_pb2.WhisperTranscribeRequest.SerializeToString,
+            response_deserializer=stt_pb2.WhisperTranscribeResponse.FromString,
+        )
+        fut = call.future(
+            stt_pb2.WhisperTranscribeRequest(audio_data=wav_bytes, language="en"),
+            metadata=(("x-tenant-id", "t1"),),
+        )
+        assert started.wait(60), "request never reached the engine"
+        fut.cancel()
+        with pytest.raises((grpc.RpcError, grpc.FutureCancelledError)):
+            fut.result(timeout=60)
+    # give the handler thread time to run the spied decode to completion
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and "results" not in seen:
+        time.sleep(0.05)
+    assert seen.get("abort_fired") is True, "cancellation never reached should_abort"
+    assert seen.get("results") == [], "aborted decode still produced results"
+    assert seen.get("decode_s", 99) < 5.0, "aborted decode did not return early"
+
+
 def test_grpc_stream_requires_tenant(grpc_addr):
     with grpc.insecure_channel(grpc_addr) as ch:
         call = ch.stream_stream(

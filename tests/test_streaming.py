@@ -147,13 +147,17 @@ def test_incremental_ticks_no_serve_compile():
         eng.shutdown()
 
 
-def test_auto_language_detect_once_per_stream(monkeypatch):
-    """Auto-language streams pin the language once a tick yields text:
-    the per-buffer detect pass (one extra encoder launch each) must not
-    run on every 500 ms tick. (The reference re-detects on every
-    re-decode — wasted work this design skips. A fully-gated/silent
-    stream keeps detecting: you cannot pin a language from silence.)"""
+def test_auto_language_pins_after_confidence_window(monkeypatch):
+    """Auto-language streams re-detect every tick until the buffer holds
+    LANG_PIN_MIN_S of audio (or detection is confident) — the first
+    ~0.5-1 s is the least reliable window and a wrong early pin would
+    stick for the whole utterance (ADVICE r4). Once pinned, later ticks
+    skip the per-buffer detect pass (the reference re-detects on every
+    500 ms re-decode forever — wasted work this design skips)."""
     import sentiric_stt_whisper_service_tpu.runtime.engine as eng_mod
+    from sentiric_stt_whisper_service_tpu.runtime.streaming import (
+        LANG_PIN_MIN_S,
+    )
 
     calls = []
     orig = eng_mod.detect_language
@@ -173,13 +177,22 @@ def test_auto_language_detect_once_per_stream(monkeypatch):
     try:
         sess = StreamingSession(eng, RequestOptions(language=""),
                                 incremental=True)
-        feed_all(sess, speechlike(3.0))  # 6 ticks
+        # 4 s of audio = 8 ticks; the buffer crosses LANG_PIN_MIN_S (3 s)
+        # at tick 6, so detect runs on at most the first 6 ticks (random
+        # weights keep softmax confidence below the early-pin threshold).
+        feed_all(sess, speechlike(4.0))
         n_live = len(calls)
-        # Tick 1 detects; once any tick yields text the language is
-        # pinned for the rest of the utterance.
-        assert n_live <= 2, f"detect ran {n_live}× across 6 live ticks"
+        ticks_to_pin = int(LANG_PIN_MIN_S / 0.5)
+        assert 1 <= n_live <= ticks_to_pin + 1, (
+            f"detect ran {n_live}× across 8 live ticks (pin ≈ tick {ticks_to_pin})"
+        )
+        # Pinned: further live ticks must not re-detect. (Incremental
+        # commits may trim the buffer below the pin threshold again —
+        # the pin survives; it is per-utterance, not per-buffer.)
+        feed_all(sess, speechlike(2.0, seed=9))
+        assert len(calls) == n_live, "detect ran after the language was pinned"
         sess.feed(b"")  # EOS resets the pin; a new utterance re-detects
-        feed_all(sess, speechlike(2.0, seed=5))
-        assert len(calls) <= n_live + 3  # EOS finalize + new utterance
+        feed_all(sess, speechlike(1.0, seed=5))
+        assert len(calls) > n_live, "EOS did not reset the language pin"
     finally:
         eng.shutdown()
