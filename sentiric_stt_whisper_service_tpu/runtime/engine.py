@@ -969,12 +969,16 @@ class SttEngine:
             xa_kv_draft is not None
             and temperature <= 0.0
             and beam_size <= 1
-            # Speculative decode is a single-launch latency optimization
-            # over EXACT greedy output; an abortable request takes the
-            # chunked greedy path below instead — identical tokens, plus
-            # mid-decode cancellation (stt_engine.cpp:215-219 parity).
-            and should_abort is None
         ):
+            # Speculative decode is a single-launch latency optimization
+            # over EXACT greedy output. Abortable requests keep it: the
+            # launch is the abort quantum (abort-checked before
+            # dispatch) — a deployment that configured a draft model
+            # chose latency, and routing its every serving request (all
+            # of which now carry a disconnect callback) to the chunked
+            # multi-launch path would silently un-deploy the feature.
+            if should_abort is not None and should_abort():
+                return None
             from ..models.speculative import decode_window_spec
 
             with self._mesh_ctx():
@@ -1159,7 +1163,6 @@ class SttEngine:
                 self.draft_params is not None
                 and temperature0 <= 0.0
                 and beam_size <= 1
-                and options.should_abort is None  # see _decode_one
                 and (
                     s.parallel_requests == 1
                     or self._get_batcher(
