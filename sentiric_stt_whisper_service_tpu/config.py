@@ -150,6 +150,14 @@ class Settings:
     spec_gamma: int = 4
     # Decode micro-batch size for the continuous batcher (per chip).
     max_batch_size: int = 8
+    # Opportunistic fused fast path at parallel_requests > 1: a LONE
+    # greedy request/tick (no other request in flight, batcher idle)
+    # runs the single-launch fused executable instead of the batcher —
+    # the batcher's ~4-6 dispatch hops per tick exceed the 500 ms
+    # streaming budget on a tunneled chip when there is nothing to
+    # batch. Bursts still coalesce through the batcher. Off = always
+    # batch at parallel_requests > 1.
+    fused_idle_fastpath: bool = True
     # Beam gang window (ms): concurrent beam-search windows with the same
     # shape class coalesce into ONE batched decode_window_beam call if
     # they arrive within this window (runtime/gang.py) — the reference's
@@ -246,6 +254,7 @@ def load_settings() -> Settings:
     s.cvalid_rows = int(os.environ.get("SSTW_CVALID_ROWS", s.cvalid_rows))
     s.cvalid_rows = _env_int("CVALID_ROWS", s.cvalid_rows)
     s.max_batch_size = _env_int("MAX_BATCH_SIZE", s.max_batch_size)
+    s.fused_idle_fastpath = _env_bool("FUSED_IDLE_FASTPATH", s.fused_idle_fastpath)
     s.gang_window_ms = _env_int("GANG_WINDOW_MS", s.gang_window_ms)
     s.mesh_shape = _env("MESH_SHAPE", s.mesh_shape)
     s.dtype = _env("DTYPE", s.dtype)

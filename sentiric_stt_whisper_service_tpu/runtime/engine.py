@@ -332,6 +332,12 @@ class SttEngine:
         # could join).
         self._beam_inflight = 0
         self._beam_count_lock = threading.Lock()
+        # Total admitted requests currently inside _transcribe_longform —
+        # the routing signal for the opportunistic fused tick path
+        # (_decode_one): a LONE request fuses (one launch beats the
+        # batcher's dispatch hops), concurrent requests share the
+        # batcher's batched step.
+        self._inflight = 0
 
     def _get_batcher(self, xa_ctx: Optional[int] = None):
         """Shared continuous batcher for greedy decodes, one pool per
@@ -543,10 +549,10 @@ class SttEngine:
                 for c in TOKEN_CAP_BUCKETS
                 if cap_of(lo + 1e-3) <= c <= cap_of(hi)
             )
-            if s.parallel_requests > 1 and caps:
-                # The batcher's sampled-token budget is traced: ONE
-                # executable serves every cap at this ctx bucket.
-                caps = caps[:1]
+            # Fused single-launch classes: the tick path for
+            # parallel_requests == 1, AND the opportunistic idle-batcher
+            # path a lone stream takes at parallel_requests > 1
+            # (_decode_one raw_fusable) — warm every cap either way.
             for cap in caps:
                 try:
                     self._decode_one(
@@ -554,6 +560,19 @@ class SttEngine:
                         window_audio=np.zeros(N_SAMPLES, np.float32),
                         n_ctx=n_ctx, sample_len=cap,
                     )
+                except Exception:  # noqa: BLE001 — warmup is best-effort
+                    pass
+            if s.parallel_requests > 1 and caps:
+                # Continuous-batcher class (concurrent streams): the
+                # sampled-token budget is traced — ONE executable serves
+                # every cap at this ctx bucket. Hold the fused path's
+                # idle check off by warming through a direct submit.
+                try:
+                    batcher = self._get_batcher(n_ctx)
+                    batcher.submit(
+                        np.zeros(N_SAMPLES, np.float32), sot_seq, 0,
+                        max_tokens=caps[0],
+                    ).result(timeout=600)
                 except Exception:  # noqa: BLE001 — warmup is best-effort
                     pass
 
@@ -779,13 +798,15 @@ class SttEngine:
         temperature0, beam_size, _ = self._decode_options(options)
         beam_flight = beam_size > 1 and temperature0 <= 0.0
         try:
-            if beam_flight:
-                with self._beam_count_lock:
+            with self._beam_count_lock:
+                self._inflight += 1
+                if beam_flight:
                     self._beam_inflight += 1
             results = self._transcribe_longform(audio, options, metrics)
         finally:
-            if beam_flight:
-                with self._beam_count_lock:
+            with self._beam_count_lock:
+                self._inflight -= 1
+                if beam_flight:
                     self._beam_inflight -= 1
             self._slots.release()
         metrics.processing_time_ms = (time.perf_counter() - t_start) * 1e3
@@ -891,26 +912,32 @@ class SttEngine:
             )
             prefill_len = max(prefill_len, pinned)
         max_len = min(ctx, prefill_len + sample_len)
-        raw_batchable = (
+        raw_single = (
             xa_kv is None
             and window_audio is not None
             and temperature <= 0.0
             and beam_size <= 1
-            and self.settings.parallel_requests > 1
             and xa_kv_draft is None
         )
-        # Single-stream greedy (parallel_requests=1, the latency-critical
-        # streaming-tick path): mel → encoder → KV precompute → decode in
-        # ONE fused executable — every separate launch pays a host→device
-        # dispatch round trip (docs/PERF.md), the dominant fixed cost of a
-        # 500 ms tick.
+        # Single-stream greedy (the latency-critical streaming-tick
+        # path): mel → encoder → KV precompute → decode in ONE fused
+        # executable — every separate launch pays a host→device dispatch
+        # round trip (docs/PERF.md), the dominant fixed cost of a 500 ms
+        # tick. At parallel_requests > 1 this engages OPPORTUNISTICALLY,
+        # only when the continuous batcher is idle: a lone stream's tick
+        # through the batcher pays ~4-6 dispatch hops (measured >1 s
+        # p50 even on the CI model — over the tick budget); under real
+        # concurrency the batcher's shared step wins instead.
         raw_fusable = (
-            xa_kv is None
-            and window_audio is not None
-            and temperature <= 0.0
-            and beam_size <= 1
-            and self.settings.parallel_requests == 1
-            and xa_kv_draft is None
+            raw_single
+            and (
+                self.settings.parallel_requests == 1
+                or (
+                    self.settings.fused_idle_fastpath
+                    and self._inflight <= 1
+                    and self._get_batcher(n_ctx).is_idle()
+                )
+            )
             # A single fused launch can't poll the abort callback
             # mid-decode. CAPPED tick decodes stay fused anyway: the
             # launch is sub-second bounded work (finer-grained than the
@@ -919,6 +946,11 @@ class SttEngine:
             # Uncapped abortable decodes take the chunked path below so a
             # cancelled client stops a full window mid-decode.
             and (should_abort is None or sample_len < SAMPLE_LEN)
+        )
+        raw_batchable = (
+            raw_single
+            and not raw_fusable
+            and self.settings.parallel_requests > 1
         )
         if raw_fusable:
             if should_abort is not None and should_abort():

@@ -300,18 +300,27 @@ def test_default_config_single_encoder_launch():
 
 
 def test_pinned_language_single_encoder_launch():
-    """A pinned-language greedy request defers its encode to the
-    batcher's admission tick — exactly one launch, none on the engine."""
-    s = Settings(enable_vad=False, beam_size=1, best_of=1, parallel_requests=2)
-    eng = SttEngine(s, model_name="test", random_init=True)
-    try:
-        counter = _EncodeCounter(eng)
-        clip = make_speechlike(2.0)
-        eng.transcribe(clip, 16000, RequestOptions(language="en"))
-        assert counter.engine_calls == []
-        assert counter.batcher_calls == [1]
-    finally:
-        eng.shutdown()
+    """A LONE pinned-language greedy request at parallel_requests > 1
+    rides the opportunistic fused single-launch path (nothing in flight,
+    batcher idle — the batcher's dispatch hops would be pure overhead):
+    no standalone engine encode AND no batcher launch. With the fastpath
+    off, the same request defers its encode to the batcher's admission
+    tick — exactly one batched launch, none on the engine."""
+    for fastpath, batcher_calls in ((True, []), (False, [1])):
+        s = Settings(
+            enable_vad=False, beam_size=1, best_of=1, parallel_requests=2,
+            fused_idle_fastpath=fastpath,
+        )
+        eng = SttEngine(s, model_name="test", random_init=True)
+        try:
+            counter = _EncodeCounter(eng)
+            clip = make_speechlike(2.0)
+            res = eng.transcribe(clip, 16000, RequestOptions(language="en"))
+            assert isinstance(res, list)
+            assert counter.engine_calls == []
+            assert counter.batcher_calls == batcher_calls, fastpath
+        finally:
+            eng.shutdown()
 
 
 def test_concurrent_requests_share_one_encoder_launch():
@@ -320,7 +329,11 @@ def test_concurrent_requests_share_one_encoder_launch():
     import threading
     import time
 
-    s = Settings(enable_vad=False, beam_size=1, best_of=1, parallel_requests=4)
+    # fused_idle_fastpath off: this test pins the BATCHER's burst
+    # coalescing; the opportunistic fused path would otherwise race the
+    # first thread past the batcher while the queue is still empty.
+    s = Settings(enable_vad=False, beam_size=1, best_of=1, parallel_requests=4,
+                 fused_idle_fastpath=False)
     eng = SttEngine(s, model_name="test", random_init=True)
     try:
         counter = _EncodeCounter(eng)
