@@ -491,6 +491,29 @@ class SttEngine:
                     b *= 2
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
+
+        # Primer: on axon the FIRST launch after a burst of compiles pays
+        # a one-time device staging cost (~3 s observed at large-v3 even
+        # for an executable warmup already ran) — re-run the smallest
+        # tick class as the very last warmup step so the first live tick
+        # doesn't pay it.
+        if s.temperature <= 0.0 and (
+            s.beam_size <= 1 or s.stream_incremental or s.stream_greedy_partials
+        ):
+            try:
+                sot_seq = list(
+                    self.tokenizer.sot_sequence(
+                        "en" if self.cfg.is_multilingual else None
+                    )
+                )
+                self._decode_one(
+                    None, sot_seq, len(sot_seq), 0, 0.0, 1, 1,
+                    window_audio=np.zeros(N_SAMPLES, np.float32),
+                    n_ctx=self._window_ctx(N_SAMPLES, None),
+                    sample_len=TOKEN_CAP_BUCKETS[1],
+                )
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
         return time.perf_counter() - t0
 
     def _serving_ctx_buckets(self) -> list:
