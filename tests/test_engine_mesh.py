@@ -29,7 +29,12 @@ def make_speechlike(duration_s=2.0, sr=16000):
     )
 
 
-BASE = dict(enable_vad=False, beam_size=1, best_of=1, parallel_requests=2)
+# fused_idle_fastpath off: mesh-vs-single equality is pinned on the
+# batcher path (same executable structure both sides). The opportunistic
+# fused path runs a differently-fused executable whose tp-sharded
+# reduction order can flip a near-tie argmax on RANDOM weights.
+BASE = dict(enable_vad=False, beam_size=1, best_of=1, parallel_requests=2,
+            fused_idle_fastpath=False)
 
 
 def _segments(res):
